@@ -1,0 +1,310 @@
+package graft
+
+import graft.core.TierSpec
+import graft.ingest.WebPages
+import graft.ops.{Dedup, GapFill, Multimodal, Rollup, Similarity, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central registry of driver-checkable queries: each entry pairs a
+  * Spark implementation with (where SQL-expressible) a DuckDB oracle
+  * over the same raw parquet tables. Column names/types are pinned to
+  * match between both sides (the driver sorts columns by name and
+  * hashes values).
+  */
+final case class QueryDef(
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+
+  /** All registered queries, in registration order. */
+  def all: Seq[(String, QueryDef)] = timeseries ++ textOps ++ relationalOps
+
+  // ---------------------------------------------------------------------
+  // Time-series engine core (SURVEY.md §2.7-§2.9)
+  // ---------------------------------------------------------------------
+
+  private def pages(s: SparkSession, dir: String): DataFrame =
+    WebPages.load(s, dir)
+
+  private def tierQuery(tier: TierSpec): QueryDef = QueryDef(
+    run = (s, dir) => {
+      // Cascade: each tier computed from the finer tier, not from raw.
+      val finest = Rollup.fromRaw(pages(s, dir), TierSpec.T5m)
+      TierSpec.cascade.takeWhile(_.seconds <= tier.seconds).tail
+        .foldLeft(finest)((finer, t) => Rollup.cascade(finer, t))
+    },
+    oracle = Some(Rollup.oracleSql(tier)))
+
+  def timeseries: Seq[(String, QueryDef)] = Seq(
+    // Per-row invariant gate: text is extracted FROM the html binary on
+    // the Spark side and must hash-match the raw document text.
+    "wp_base" -> QueryDef(
+      run = (s, dir) =>
+        pages(s, dir).select(
+          col("url"), col("domain"), col("warc_epoch"), col("lang"),
+          col("n_chars"),
+          md5(WebPages.extractText(col("html"))).as("text_md5")),
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT url, domain, warc_epoch, lang, n_chars,
+           |       md5(text) AS text_md5
+           |FROM webpages""".stripMargin)),
+
+    "ts_rollup_5m"  -> tierQuery(TierSpec.T5m),
+    "ts_rollup_1h"  -> tierQuery(TierSpec.T1h),
+    "ts_rollup_1d"  -> tierQuery(TierSpec.T1d),
+    "ts_rollup_30d" -> tierQuery(TierSpec.T30d),
+
+    "ts_gapfill_1h" -> QueryDef(
+      run = (s, dir) => {
+        val r5 = Rollup.fromRaw(pages(s, dir), TierSpec.T5m)
+        val r1h = Rollup.cascade(r5, TierSpec.T1h)
+        GapFill.dense(r1h, TierSpec.T1h)
+      },
+      oracle = Some(GapFill.denseOracleSql(TierSpec.T1h))),
+
+    "ts_ffill_1h" -> QueryDef(
+      run = (s, dir) => {
+        val r1h = Rollup.cascade(
+          Rollup.fromRaw(pages(s, dir), TierSpec.T5m), TierSpec.T1h)
+        GapFill.forwardFill(GapFill.dense(r1h, TierSpec.T1h))
+          .select("domain", "bucket_epoch", "is_gap", "ffill_value")
+      },
+      oracle = Some(GapFill.ffillOracleSql(TierSpec.T1h)))
+  )
+
+  // ---------------------------------------------------------------------
+  // Text / training-data pipeline ops
+  // ---------------------------------------------------------------------
+
+  private val docsCte = "WITH docs AS (SELECT * FROM documents)"
+
+  def textOps: Seq[(String, QueryDef)] = Seq(
+    "text_stats" -> QueryDef(
+      run = (s, dir) => TextStats.stats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
+      oracle = Some(TextStats.statsOracleSql(docsCte, "docs", "doc_id", "text"))),
+
+    "dedup_exact" -> QueryDef(
+      run = (s, dir) => Dedup.exact(pages(s, dir), "url", "text"),
+      oracle = Some(Dedup.exactOracleSql(
+        WebPages.oracleCte, "webpages", "url", "text"))),
+
+    "dedup_minhash" -> QueryDef(
+      run = (s, dir) => Dedup.minHashLsh(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
+      oracle = Some(Dedup.minHashLshOracleSql(docsCte, "docs", "doc_id", "text"))),
+
+    "dedup_simhash" -> QueryDef(
+      run = (s, dir) => Dedup.simHash(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
+      oracle = Some(Dedup.simHashOracleSql(docsCte, "docs", "doc_id", "text"))),
+
+    "dedup_jaccard" -> QueryDef(
+      run = (s, dir) => Dedup.ngramJaccard(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        "lang", 600L),
+      oracle = Some(Dedup.ngramJaccardOracleSql(
+        docsCte, "docs", "doc_id", "text", "lang", 600L))),
+
+    "ann_topk" -> QueryDef(
+      run = (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .select("query_id", "neighbor_id", "rank")
+      },
+      oracle = Some(Similarity.bruteForceOracleSql(
+        "embeddings", "vec_id", "embedding", 5, 10L))),
+
+    "mm_features" -> QueryDef(
+      run = (s, dir) => Multimodal.extractFeatures(pages(s, dir), "event_id", "html"),
+      oracle = Some(Multimodal.oracleSql(
+        WebPages.oracleCte, "webpages", "event_id",
+        "concat('<html><body>', text, '</body></html>')"))),
+
+    "text_extract_invariant" -> QueryDef(
+      // Byte-identical text per url: compare text re-extracted from the
+      // html binary against the raw document text. Oracle asserts all-true.
+      run = (s, dir) => pages(s, dir).select(
+        col("event_id"),
+        (WebPages.extractText(col("html")) === col("text")).as("ok")),
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT event_id, TRUE AS ok FROM webpages""".stripMargin))
+  )
+
+  // ---------------------------------------------------------------------
+  // Relational / lifecycle ops from the reference inventory
+  // ---------------------------------------------------------------------
+
+  def relationalOps: Seq[(String, QueryDef)] = Seq(
+    // Gorilla block codec round-trip: encode per (user, day), decode,
+    // explode — must reproduce the raw points exactly.
+    "gorilla_roundtrip" -> QueryDef(
+      run = (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet").select(
+          col("user_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"),
+          col("value"))
+          .withColumn("day", Rollup.bucket(col("ts_epoch"), TierSpec.T1d))
+        graft.codec.GorillaAgg.roundTrip(ev, Seq("user_id", "day"), "ts_epoch", "value")
+          .select("user_id", "ts_epoch", "value")
+      },
+      oracle = Some(
+        """SELECT user_id,
+          |       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_epoch,
+          |       value
+          |FROM events""".stripMargin)),
+
+    // P1/P2/P3/P5/P10 scalar projections (vpts_csv.py rulesets).
+    "vpts_scalars" -> QueryDef(
+      run = (s, dir) => {
+        import graft.fmt.VptsCsv
+        s.read.parquet(s"$dir/events.parquet").select(
+          col("event_id"),
+          VptsCsv.iso8601(col("ts")).as("dt_iso"),
+          VptsCsv.intToNodata(
+            when(col("event_type") === "error", lit("0"))
+              .when(col("event_type") === "view", lit("NULL"))
+              .otherwise(col("user_id").cast("string"))).as("vcp"),
+          VptsCsv.numberToBoolStr(
+            when(col("value") > 0, 1).otherwise(0)).as("gap"),
+          VptsCsv.round6(col("value") / 7).as("lat6"),
+          substring(col("event_type"), 1, 2).as("country"),
+          substring(col("event_type"), 3, 100).as("radar"))
+      },
+      oracle = Some(
+        """SELECT event_id,
+          |       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS dt_iso,
+          |       CASE WHEN event_type IN ('error', 'view') OR user_id = 0 THEN ''
+          |            ELSE CAST(user_id AS VARCHAR) END AS vcp,
+          |       CASE WHEN value > 0 THEN 'TRUE' ELSE 'FALSE' END AS gap,
+          |       round(value / 7, 6) AS lat6,
+          |       substring(event_type, 1, 2) AS country,
+          |       substring(event_type, 3, 100) AS radar
+          |FROM events""".stripMargin)),
+
+    // P9 filename parse + A1 coverage count (s3.py:74-109, 243-260).
+    "coverage_count" -> QueryDef(
+      run = (s, dir) => {
+        val fname = concat(
+          substring(replace(col("domain"), lit("."), lit("")), 1, 5),
+          lit("_vp_"), date_format(col("warc_ts"), "yyyyMMdd'T'HHmm"),
+          lit(".h5"))
+        val re = "^([a-z0-9]{5})_vp_([0-9]{8})T([0-9]{4})\\.h5$"
+        pages(s, dir)
+          .withColumn("fname", fname)
+          .select(
+            regexp_extract(col("fname"), re, 1).as("radar"),
+            regexp_extract(col("fname"), re, 2).as("yyyymmdd"))
+          .groupBy("radar", "yyyymmdd")
+          .agg(count(lit(1)).as("file_count"))
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte},
+           |files AS (
+           |  SELECT concat(substring(replace(domain, '.', ''), 1, 5), '_vp_',
+           |                strftime(warc_ts, '%Y%m%dT%H%M'), '.h5') AS fname
+           |  FROM webpages
+           |)
+           |SELECT regexp_extract(fname, '^([a-z0-9]{5})_vp_([0-9]{8})T([0-9]{4})\\.h5$$', 1) AS radar,
+           |       regexp_extract(fname, '^([a-z0-9]{5})_vp_([0-9]{8})T([0-9]{4})\\.h5$$', 2) AS yyyymmdd,
+           |       CAST(count(*) AS BIGINT) AS file_count
+           |FROM files GROUP BY 1, 2""".stripMargin)),
+
+    // F3/I1 modified-since watermark: the incremental recompute set.
+    "watermark_filter" -> QueryDef(
+      run = (s, dir) => pages(s, dir)
+        .filter(col("warc_ts") >= lit("2024-01-28 00:00:00").cast("timestamp"))
+        .groupBy(col("domain"),
+                 Rollup.bucket(col("warc_epoch"), TierSpec.T1d).as("day_epoch"))
+        .agg(count(lit(1)).as("n")),
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       warc_epoch - (warc_epoch % 86400) AS day_epoch,
+           |       CAST(count(*) AS BIGINT) AS n
+           |FROM webpages
+           |WHERE warc_ts >= TIMESTAMP '2024-01-28 00:00:00'
+           |GROUP BY 1, 2""".stripMargin)),
+
+    // J1 existence anti-join (transfer_baltrad.py:30-47,141).
+    "anti_join" -> QueryDef(
+      run = (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val purchasers = ev.filter(col("event_type") === "purchase")
+          .select("user_id").distinct()
+        val erring = ev.filter(col("event_type") === "error" &&
+            col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+          .select("user_id").distinct()
+        purchasers.join(erring, Seq("user_id"), "left_anti")
+      },
+      oracle = Some(
+        """SELECT DISTINCT user_id FROM events
+          |WHERE event_type = 'purchase'
+          |  AND NOT EXISTS (SELECT 1 FROM events e2
+          |                  WHERE e2.user_id = events.user_id
+          |                    AND e2.event_type = 'error'
+          |                    AND e2.ts < TIMESTAMP '2024-01-03 00:00:00')""".stripMargin)),
+
+    // O3 union-all concat preserving duplicates (vpts.py:266).
+    "union_concat" -> QueryDef(
+      run = (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select("event_id", "event_type", "ts")
+        val a = ev.filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+        val b = ev.filter(
+          col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+        a.unionByName(b).select("event_id", "event_type")
+      },
+      oracle = Some(
+        """SELECT event_id, event_type FROM events
+          |WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+          |UNION ALL
+          |SELECT event_id, event_type FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-04 00:00:00'""".stripMargin)),
+
+    // Top-k buckets per series (rank window; deterministic tie-break).
+    "topk_per_series" -> QueryDef(
+      run = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val r1d = Rollup.fromRaw(pages(s, dir), TierSpec.T1d)
+        val w = Window.partitionBy("domain")
+          .orderBy(col("n").desc, col("bucket_epoch"))
+        r1d.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("domain", "bucket_epoch", "n", "rk")
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte},
+           |r1d AS (
+           |  SELECT domain,
+           |         warc_epoch - (warc_epoch % 86400) AS bucket_epoch,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM webpages GROUP BY 1, 2
+           |)
+           |SELECT domain, bucket_epoch, n,
+           |       CAST(row_number() OVER (PARTITION BY domain
+           |         ORDER BY n DESC, bucket_epoch) AS INT) AS rk
+           |FROM r1d QUALIFY rk <= 3""".stripMargin)),
+
+    // A5 distinct-set invariant: buckets per series at the 1h tier.
+    "distinct_buckets" -> QueryDef(
+      run = (s, dir) => Rollup
+        .fromRaw(pages(s, dir), TierSpec.T1h)
+        .groupBy("domain")
+        .agg(countDistinct(col("bucket_epoch")).as("n_buckets"),
+             sum(col("n")).as("n_rows")),
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       CAST(count(DISTINCT warc_epoch - (warc_epoch % 3600)) AS BIGINT) AS n_buckets,
+           |       CAST(count(*) AS BIGINT) AS n_rows
+           |FROM webpages GROUP BY 1""".stripMargin))
+  )
+}

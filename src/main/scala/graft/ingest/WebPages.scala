@@ -1,0 +1,79 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Common-Crawl-style web-pages table
+  * `(url, warc_ts, html, text, lang, …)` — the engine's tier-0 input.
+  *
+  * Derived purely from the driver-provided parquet tables (no external
+  * data): each `events` row is one page fetch; the fetched document is
+  * `documents[event_id mod |documents|]`. The derivation is pure SQL on
+  * both engines, so the DuckDB oracle can reproduce it exactly (see
+  * [[oracleCte]]).
+  *
+  * Per-row invariant (BASELINE.json input_hint): `text` must be
+  * byte-identically extractable from `html`. `html` is
+  * `"<html><body>" + text + "</body></html>"` UTF-8 encoded;
+  * [[extractText]] is its exact inverse and is asserted by the
+  * `text_extract_invariant` query and the ScalaTest suite.
+  *
+  * Scale notes: `documents` is a dimension table (broadcast join);
+  * `events` is the fact side and streams through without a shuffle.
+  * At 100 TB the fact scan partitions by file splits; the broadcast
+  * keeps the derivation shuffle-free.
+  */
+object WebPages {
+
+  private val HtmlPrefix = "<html><body>"   // 12 bytes
+  private val HtmlSuffix = "</body></html>" // 14 bytes
+
+  /** Load the tier-0 web-pages DataFrame from a testdata sf directory. */
+  def load(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs   = spark.read.parquet(s"$sfDir/documents.parquet")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // Dimension-table cardinality: tiny driver-side count on the dim side.
+    val nDocs = docs.count()
+    events
+      .withColumn("doc_id", col("event_id") % nDocs)
+      .join(broadcast(docs), Seq("doc_id"))
+      .select(
+        concat(
+          lit("https://"), col("source"), lit(".example.org/"), col("lang"),
+          lit("/"), col("doc_id").cast("string"),
+          lit("?e="), col("event_id").cast("string")).as("url"),
+        concat(col("source"), lit(".example.org")).as("domain"),
+        col("ts").as("warc_ts"),
+        unix_timestamp(col("ts")).as("warc_epoch"),
+        encode(concat(lit(HtmlPrefix), col("text"), lit(HtmlSuffix)), "UTF-8")
+          .as("html"),
+        col("text"), col("lang"), col("n_chars"), col("value"),
+        col("event_id"), col("doc_id"))
+  }
+
+  /** Exact inverse of the html wrapper: byte-identical `text`. */
+  def extractText(html: Column): Column = {
+    val s = decode(html, "UTF-8")
+    s.substr(lit(HtmlPrefix.length + 1),
+             length(s) - lit(HtmlPrefix.length + HtmlSuffix.length))
+  }
+
+  /** DuckDB CTE mirroring [[load]] exactly — prefix for oracle SQL.
+    * `warc_epoch` uses epoch_us//1_000_000 (floor) to match Spark's
+    * `unix_timestamp` second truncation.
+    */
+  val oracleCte: String =
+    """WITH webpages AS (
+      |  SELECT
+      |    concat('https://', d.source, '.example.org/', d.lang, '/',
+      |           CAST(d.doc_id AS VARCHAR), '?e=', CAST(e.event_id AS VARCHAR)) AS url,
+      |    concat(d.source, '.example.org') AS domain,
+      |    e.ts AS warc_ts,
+      |    CAST(epoch_us(e.ts) // 1000000 AS BIGINT) AS warc_epoch,
+      |    d.text AS text, d.lang AS lang, d.n_chars AS n_chars,
+      |    e.value AS value, e.event_id AS event_id, d.doc_id AS doc_id
+      |  FROM events e
+      |  JOIN documents d
+      |    ON d.doc_id = e.event_id % (SELECT count(*) FROM documents)
+      |)""".stripMargin
+}

@@ -1,0 +1,219 @@
+package graft.ops
+
+import graft.functions.Portable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-text corpora: exact (hash-groupBy),
+  * MinHash + LSH banding, SimHash, and exact n-gram Jaccard (the
+  * small-scale oracle for the approximate methods).
+  *
+  * Hashing is the portable md5-derived [[Portable.hash60]] family, so
+  * every stage — signatures, bands, candidate pairs — is reproducible
+  * in the DuckDB oracle value-for-value.
+  *
+  * Scale notes (100 TB): exact dedup is one hash-aggregate on a
+  * fingerprint (map-side combine, no row data shuffled beyond the
+  * digest). MinHash/LSH shuffles only (id, band-hash) pairs — bands act
+  * as the blocking key so the self-join is per-bucket, never quadratic
+  * in the corpus; skewed buckets (boilerplate pages) are capped by AQE
+  * skew-join splitting. The exact Jaccard join is quadratic per shared
+  * token and exists as the correctness baseline, not the scale path.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact duplicate groups by text digest: one row per distinct text,
+    * keeping the minimum id as the canonical representative.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  def exactOracleSql(fromCte: String, table: String, idCol: String,
+                     textCol: String): String =
+    s"""$fromCte
+       |SELECT md5($textCol) AS text_md5,
+       |       min($idCol) AS keep_id,
+       |       CAST(count(*) AS BIGINT) AS n_dupes
+       |FROM $table GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** Tokenize to the distinct word set (shingle k=1 keeps the oracle
+    * SQL tractable; the signature math is k-agnostic).
+    */
+  private def wordSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("_id"),
+              explode(array_distinct(split(col(textCol), " "))).as("w"))
+
+  /** MinHash signatures: numHashes min-aggregates over seeded hashes of
+    * the word set. Output: (_id, h0 … h{n-1}).
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int): DataFrame = {
+    val words = wordSet(df, idCol, textCol)
+    val aggs = (0 until numHashes).map(i =>
+      min(Portable.hashSeeded(i, col("w"))).as(s"h$i"))
+    words.groupBy(col("_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH bands: split the signature into `bands` bands of
+    * numHashes/bands rows; band hash = md5 of the joined slice. Output:
+    * (_id, band, band_hash) — the blocking key stream.
+    */
+  def lshBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until r).map(j => col(s"h${b * r + j}").cast("string"))
+      struct(lit(b).as("band"),
+             md5(concat_ws("|", slice: _*)).as("band_hash"))
+    }
+    sigs.select(col("_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("_id"), col("bb.band"), col("bb.band_hash"))
+  }
+
+  /** Candidate near-duplicate pairs: ids sharing any LSH band bucket. */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val b = lshBands(minHashSignatures(df, idCol, textCol, numHashes),
+                     numHashes, bands)
+    val l = b.select(col("_id").as("id_a"), col("band"), col("band_hash"))
+    val r = b.select(col("_id").as("id_b"), col("band"), col("band_hash"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  def minHashLshOracleSql(fromCte: String, table: String, idCol: String,
+                          textCol: String, numHashes: Int = 16,
+                          bands: Int = 4): String = {
+    val r = numHashes / bands
+    val minAggs = (0 until numHashes)
+      .map(i => s"min(${Portable.hashSeededSql(i, "w")}) AS h$i")
+      .mkString(",\n         ")
+    val bandSelects = (0 until bands).map { b =>
+      val slice = (0 until r).map(j => s"CAST(h${b * r + j} AS VARCHAR)")
+      s"SELECT _id, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS band_hash FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""$fromCte,
+       |words AS (
+       |  SELECT $idCol AS _id, unnest(list_distinct(string_split($textCol, ' '))) AS w
+       |  FROM $table
+       |),
+       |sigs AS (
+       |  SELECT _id,
+       |         $minAggs
+       |  FROM words GROUP BY _id
+       |),
+       |bands AS (
+       |  $bandSelects
+       |)
+       |SELECT DISTINCT a._id AS id_a, b._id AS id_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_hash = b.band_hash AND a._id < b._id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** SimHash fingerprint over the distinct word set: bit j of the
+    * fingerprint is the sign of Σ_words (2·bit_j(hash60(word)) − 1).
+    * `bits` ≤ 60. Output: (_id, simhash).
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 16): DataFrame = {
+    val words = wordSet(df, idCol, textCol)
+      .withColumn("wh", Portable.hash60(col("w")))
+    // bit j via shiftright (integer-exact; double division would lose
+    // precision above 2^53)
+    val sumAggs = (0 until bits).map(j =>
+      sum(when((shiftright(col("wh"), j) % 2) === 1, 1L)
+        .otherwise(-1L)).as(s"s$j"))
+    val sums = words.groupBy(col("_id")).agg(sumAggs.head, sumAggs.tail: _*)
+    val fp = (0 until bits)
+      .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("_id"), fp.as("simhash"))
+  }
+
+  def simHashOracleSql(fromCte: String, table: String, idCol: String,
+                       textCol: String, bits: Int = 16): String = {
+    val sums = (0 until bits).map(j =>
+      s"sum(CASE WHEN (wh // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n         ")
+    val fp = (0 until bits)
+      .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""$fromCte,
+       |words AS (
+       |  SELECT $idCol AS _id, ${Portable.hash60Sql("w")} AS wh
+       |  FROM (SELECT $idCol, unnest(list_distinct(string_split($textCol, ' '))) AS w
+       |        FROM $table)
+       |),
+       |sums AS (
+       |  SELECT _id,
+       |         $sums
+       |  FROM words GROUP BY _id
+       |)
+       |SELECT _id, CAST($fp AS BIGINT) AS simhash FROM sums""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Exact n-gram (word-set) Jaccard
+  // ------------------------------------------------------------------
+
+  /** Exact word-set Jaccard ≥ threshold (milli) pairs within the same
+    * `blockCol` (e.g. lang). The small-scale baseline that validates
+    * the MinHash path; quadratic per shared token.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, thresholdMilli: Long): DataFrame = {
+    val words = df.select(col(idCol).as("_id"), col(blockCol).as("_blk"),
+        explode(array_distinct(split(col(textCol), " "))).as("w"))
+    val sizes = words.groupBy("_id").agg(count(lit(1)).as("sz"))
+    val l = words.select(col("_id").as("id_a"), col("_blk"), col("w"))
+    val r = words.select(col("_id").as("id_b"), col("_blk"), col("w"))
+    val inter = l.join(r, Seq("_blk", "w"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard_milli",
+        floor(col("inter") * 1000L / (col("sz_a") + col("sz_b") - col("inter")))
+          .cast("long"))
+      .filter(col("jaccard_milli") >= thresholdMilli)
+      .select("id_a", "id_b", "jaccard_milli")
+  }
+
+  def ngramJaccardOracleSql(fromCte: String, table: String, idCol: String,
+                            textCol: String, blockCol: String,
+                            thresholdMilli: Long): String =
+    s"""$fromCte,
+       |words AS (
+       |  SELECT $idCol AS _id, $blockCol AS _blk,
+       |         unnest(list_distinct(string_split($textCol, ' '))) AS w
+       |  FROM $table
+       |),
+       |sizes AS (SELECT _id, count(*) AS sz FROM words GROUP BY _id),
+       |inter AS (
+       |  SELECT a._id AS id_a, b._id AS id_b, count(*) AS inter
+       |  FROM words a JOIN words b
+       |    ON a._blk = b._blk AND a.w = b.w AND a._id < b._id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b,
+       |       CAST((inter * 1000) // (sa.sz + sb.sz - inter) AS BIGINT) AS jaccard_milli
+       |FROM inter
+       |JOIN sizes sa ON sa._id = id_a
+       |JOIN sizes sb ON sb._id = id_b
+       |WHERE (inter * 1000) // (sa.sz + sb.sz - inter) >= $thresholdMilli""".stripMargin
+}

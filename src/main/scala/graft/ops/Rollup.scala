@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.core.TierSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tumbling-window rollups and the tier cascade (5m → 1h → 1d → 30d).
+  *
+  * Semantics generalize the reference's daily→monthly re-grouping
+  * (/root/reference/src/vptstools/bin/vph5_to_vpts.py:204-212 — strip a
+  * key component, re-aggregate) and its chunked partial-agg + final
+  * merge (/root/reference/src/vptstools/s3.py:344-366): every measure
+  * is mergeable (count/sum/min/max), so a coarser tier is computed from
+  * the *finer tier*, never from raw data — at 100 TB the 1h tier reads
+  * the 5m tier (288× smaller), the 1d tier reads the 1h tier, etc.
+  *
+  * Double-valued measures are quantized to integral micros
+  * (`floor(value * 1e6)`) *before* aggregation so every tier is exact
+  * integer arithmetic — order-insensitive, reproducible across engines
+  * and across shuffle orders (determinism requirement of SURVEY.md
+  * §7.2).
+  *
+  * Plan shape: one hash aggregate per tier (partial → final, map-side
+  * combine free from Catalyst); no joins, no windows. The groupBy keys
+  * `(series, bucket)` hash-partition evenly as long as series
+  * cardinality ≫ shuffle partitions; hot-series skew is handled by the
+  * two-phase salted variant [[fromRawSalted]].
+  */
+object Rollup {
+
+  /** Epoch-aligned tumbling bucket start for a tier. */
+  def bucket(epoch: Column, tier: TierSpec): Column =
+    (epoch - (epoch % tier.seconds)).as("bucket_epoch")
+
+  /** Exact integral micros of a double measure (floor: identical in
+    * IEEE double on every engine, unlike half-up vs banker's rounding).
+    */
+  def micros(value: Column): Column = floor(value * lit(1000000L)).cast("long")
+
+  private val measures: Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    sum(col("n_chars")).as("sum_chars"),
+    sum(col("value_micros")).as("sum_value_micros"),
+    min(col("value_micros")).as("min_value_micros"),
+    max(col("value_micros")).as("max_value_micros"))
+
+  private val merged: Seq[Column] = Seq(
+    sum(col("n")).as("n"),
+    sum(col("sum_chars")).as("sum_chars"),
+    sum(col("sum_value_micros")).as("sum_value_micros"),
+    min(col("min_value_micros")).as("min_value_micros"),
+    max(col("max_value_micros")).as("max_value_micros"))
+
+  /** Raw web pages → finest tier. `pages` needs columns
+    * (seriesCols…, warc_epoch, n_chars, value).
+    */
+  def fromRaw(pages: DataFrame, tier: TierSpec,
+              seriesCols: Seq[String] = Seq("domain")): DataFrame =
+    pages
+      .withColumn("value_micros", micros(col("value")))
+      .groupBy(seriesCols.map(col) :+ bucket(col("warc_epoch"), tier): _*)
+      .agg(measures.head, measures.tail: _*)
+
+  /** Finer tier → coarser tier (partial-agg merge). Input must be the
+    * output of [[fromRaw]] or a previous [[cascade]] step.
+    */
+  def cascade(finer: DataFrame, tier: TierSpec,
+              seriesCols: Seq[String] = Seq("domain")): DataFrame =
+    finer
+      .groupBy(seriesCols.map(col) :+ bucket(col("bucket_epoch"), tier): _*)
+      .agg(merged.head, merged.tail: _*)
+
+  /** Full cascade: raw → Map(tierName → rollup), each tier derived from
+    * the previous. Caller may persist intermediate tiers.
+    */
+  def allTiers(pages: DataFrame,
+               seriesCols: Seq[String] = Seq("domain")): Map[String, DataFrame] = {
+    val finest = fromRaw(pages, TierSpec.cascade.head, seriesCols)
+    TierSpec.cascade.tail
+      .scanLeft(TierSpec.cascade.head.name -> finest) { case ((_, finer), t) =>
+        t.name -> cascade(finer, t, seriesCols)
+      }
+      .toMap
+  }
+
+  /** Skew-resistant variant: two-phase aggregation with a salt on the
+    * series key. Phase 1 aggregates (series, salt, bucket) — spreading a
+    * hot series over `saltBuckets` reducers; phase 2 merges the partials.
+    * Use when one domain dominates (Zipf head at Common-Crawl scale).
+    */
+  def fromRawSalted(pages: DataFrame, tier: TierSpec, saltBuckets: Int,
+                    seriesCols: Seq[String] = Seq("domain")): DataFrame = {
+    val salted = pages
+      .withColumn("value_micros", micros(col("value")))
+      .withColumn("_salt", pmod(col("event_id"), lit(saltBuckets)))
+      .groupBy(seriesCols.map(col) ++ Seq(col("_salt"), bucket(col("warc_epoch"), tier)): _*)
+      .agg(measures.head, measures.tail: _*)
+    salted
+      .groupBy(seriesCols.map(col) :+ col("bucket_epoch"): _*)
+      .agg(merged.head, merged.tail: _*)
+  }
+
+  /** DuckDB oracle measure list matching [[fromRaw]] composed through any
+    * number of [[cascade]] steps (sums of sums = direct sums; casts pin
+    * BIGINT vs DuckDB's HUGEINT sum type).
+    */
+  val oracleMeasures: String =
+    """CAST(count(*) AS BIGINT) AS n,
+      |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros,
+      |CAST(min(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS min_value_micros,
+      |CAST(max(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS max_value_micros""".stripMargin
+
+  /** DuckDB oracle: direct rollup of the webpages CTE at one tier. */
+  def oracleSql(tier: TierSpec): String =
+    s"""${graft.ingest.WebPages.oracleCte}
+       |SELECT domain,
+       |       warc_epoch - (warc_epoch % ${tier.seconds}) AS bucket_epoch,
+       |       $oracleMeasures
+       |FROM webpages
+       |GROUP BY 1, 2""".stripMargin
+}

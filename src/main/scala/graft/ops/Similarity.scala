@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.functions.Portable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small)
+  *    query set against the corpus; one pass, no corpus shuffle. The
+  *    correctness baseline.
+  *  - [[lshTopK]] — the scale path: random-hyperplane LSH buckets the
+  *    corpus (deterministic md5-derived planes), then ranks only within
+  *    matching buckets; corpus-size-linear with bucket-local ranking.
+  *
+  * Dot products run in double via `zip_with` + `aggregate` (sequential
+  * left-to-right fold — reproducible). Ranking keys are quantized to
+  * nano-units so the oracle's independently-summed doubles rank
+  * identically.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank, score_nanos).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+                          asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+                           asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_nanos",
+        floor(dot(col("qv"), col("cv"))
+          / (norm(col("qv")) * norm(col("cv"))) * lit(1e9)).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_nanos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score_nanos")
+  }
+
+  /** DuckDB oracle for [[bruteForceTopK]] with `queries = id < maxQueryId`. */
+  def bruteForceOracleSql(table: String, idCol: String, vecCol: String,
+                          k: Int, maxQueryId: Long): String =
+    s"""WITH corpus AS (
+       |  SELECT $idCol AS id, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM $table
+       |),
+       |pairs AS (
+       |  SELECT q.id AS query_id, c.id AS neighbor_id, q.v AS qv, c.v AS cv
+       |  FROM corpus q JOIN corpus c ON q.id < $maxQueryId AND q.id <> c.id
+       |),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(floor(
+       |           list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+       |           / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+       |              * sqrt(list_sum(list_transform(cv, x -> x * x)))) * 1e9)
+       |         AS BIGINT) AS score_nanos
+       |  FROM pairs
+       |)
+       |SELECT query_id, neighbor_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY score_nanos DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits, plane p's
+    * coefficient for dimension d is ±1 from the parity of
+    * hash60("p:d"). Deterministic, engine-portable.
+    */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val signBits = (0 until planes).map { p =>
+      val proj = (0 until dims).map { d =>
+        val sign = if (planeSign(p, d)) 1.0 else -1.0
+        element_at(vec, d + 1) * lit(sign)
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    signBits.reduce(_ + _)
+  }
+
+  /** Deterministic ±1 plane coefficients (shared with tests/oracle). */
+  def planeSign(p: Int, d: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    (md(0) & 1) == 1
+  }
+
+  /** ANN top-k: rank candidates only within the query's LSH bucket.
+    * Recall measured against [[bruteForceTopK]] in the test suite.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int = 8,
+              dims: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes, dims))
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes, dims))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_nanos",
+        floor(dot(col("qv"), col("cv"))
+          / (norm(col("qv")) * norm(col("cv"))) * lit(1e9)).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_nanos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score_nanos")
+  }
+}
