@@ -1,24 +1,96 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.core.TierSpec
+import graft.ingest.WebPages
+import graft.ops.{GapFill, Rollup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark: one JSON line with total seconds + per-query
+  * seconds + the headline rolled-up points/sec across the 5m→30d tier
+  * cascade (the BASELINE.md metric).
+  *
+  * `SPARK_GRAFT_REPLICATE` (default 1) replicates the input
+  * deterministically to give the engine enough work for stable
+  * numbers; the scaling evidence run uses the same replicated input at
+  * two parallelism levels (see graft.ScalingBench).
+  */
 object Bench {
+
+  /** Deterministic input replication: replica i shifts event ids and
+    * timestamps by i seconds so rows stay distinct but the workload
+    * shape is unchanged.
+    */
+  def replicatedPages(spark: SparkSession, sfDir: String, r: Int): DataFrame = {
+    val p = WebPages.load(spark, sfDir)
+    if (r <= 1) p
+    else p
+      .withColumn("_rep", explode(sequence(lit(0), lit(r - 1))))
+      .withColumn("warc_epoch", col("warc_epoch") + col("_rep"))
+      .withColumn("event_id", col("event_id") * r + col("_rep"))
+      .drop("_rep")
+  }
+
+  /** The headline job: full tier cascade; returns (points, seconds). */
+  def cascadeRun(pages: DataFrame): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val t5m = Rollup.fromRaw(pages, TierSpec.T5m)
+    t5m.persist()
+    val t1h = Rollup.cascade(t5m, TierSpec.T1h)
+    t1h.persist()
+    val t1d = Rollup.cascade(t1h, TierSpec.T1d)
+    t1d.persist()
+    val t30d = Rollup.cascade(t1d, TierSpec.T30d)
+    val points = t5m.count() + t1h.count() + t1d.count() + t30d.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    t5m.unpersist(); t1h.unpersist(); t1d.unpersist()
+    (points, sec)
+  }
+
+  /** Representative per-operator timings (correctness is Verify's job;
+    * these are the throughput-sensitive paths).
+    */
+  val benchQueries: Seq[String] = Seq(
+    "wp_base", "ts_rollup_5m", "ts_rollup_1h", "ts_rollup_1d",
+    "ts_rollup_30d", "ts_gapfill_1h", "ts_ffill_1h", "gorilla_roundtrip",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "text_stats",
+    "ann_topk", "mm_features")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Headline: rolled-up points/sec across the tier cascade (warm-up
+    // once at tiny scale to exclude JVM/codegen first-run cost).
+    cascadeRun(WebPages.load(spark, "/root/testdata/sf0.001"))
+    val pages = replicatedPages(spark, sfDir, rep)
+    val (points, cascadeSec) = cascadeRun(pages)
+    val pps = points / cascadeSec
+
+    val qmap = SparkEntry.queries
+    val results = benchQueries.filter(qmap.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { qmap(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results :+ ("tier_cascade" -> cascadeSec))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + cascadeSec
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","replicate":$rep,"cascade_points":$points,""" +
+      s""""cascade_sec":${f"$cascadeSec%.3f"},"rolled_up_points_per_sec":${f"$pps%.1f"}}""")
     spark.stop()
   }
 }

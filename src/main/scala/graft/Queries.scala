@@ -293,6 +293,24 @@ object Queries {
            |         ORDER BY n DESC, bucket_epoch) AS INT) AS rk
            |FROM r1d QUALIFY rk <= 3""".stripMargin)),
 
+    // I1/I2 end-to-end: two incremental ingests through the TierRunner
+    // (snapshot commits, per-partition lineage, checkpoint manifest)
+    // must converge to the direct full rollup at the 1d tier.
+    "tier_incremental" -> QueryDef(
+      run = (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-tierq").toString
+        val runner = new graft.run.TierRunner(s, root)
+        val p = pages(s, dir)
+        val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+        runner.run("inc1", runner.ingest(p.filter(col("warc_ts") < cut)))
+        runner.run("inc2", runner.ingest(p.filter(col("warc_ts") >= cut)))
+        runner.tier(TierSpec.T1d).select(
+          "domain", "bucket_epoch", "n", "sum_chars", "sum_value_micros",
+          "min_value_micros", "max_value_micros")
+      },
+      oracle = Some(Rollup.oracleSql(TierSpec.T1d))),
+
     // A5 distinct-set invariant: buckets per series at the 1h tier.
     "distinct_buckets" -> QueryDef(
       run = (s, dir) => Rollup

@@ -117,12 +117,16 @@ object Gorilla {
           w.writeBits(xor >>> (64 - prevLead - prevMean), prevMean)
         } else {
           w.writeBit(1)
-          val l = math.min(lead, 31) // 5 bits
+          // lead is clamped to the 5-bit field; the window must be
+          // recomputed against the clamped lead or the decoder would
+          // re-shift the meaningful bits to the wrong position
+          val l = math.min(lead, 31)
+          val meanW = 64 - l - trail
           w.writeBits(l.toLong, 5)
-          w.writeBits((mean - 1).toLong, 6)
-          w.writeBits(xor >>> trail, mean)
+          w.writeBits((meanW - 1).toLong, 6)
+          w.writeBits(xor >>> trail, meanW)
           prevLead = l
-          prevMean = 64 - l - trail
+          prevMean = meanW
         }
       }
       prevBits = bits

@@ -78,14 +78,14 @@ object Similarity {
        |FROM scored
        |QUALIFY rank <= $k""".stripMargin
 
-  /** Random-hyperplane LSH bucket id: `planes` sign bits, plane p's
-    * coefficient for dimension d is ±1 from the parity of
-    * hash60("p:d"). Deterministic, engine-portable.
+  /** Random-hyperplane LSH bucket id for one hash table: `planes` sign
+    * bits; plane p of table t has ±1 coefficient per dimension d from
+    * the parity of md5("t:p:d"). Deterministic, engine-portable.
     */
-  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
+  def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column = {
     val signBits = (0 until planes).map { p =>
       val proj = (0 until dims).map { d =>
-        val sign = if (planeSign(p, d)) 1.0 else -1.0
+        val sign = if (planeSign(table, p, d)) 1.0 else -1.0
         element_at(vec, d + 1) * lit(sign)
       }.reduce(_ + _)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -94,29 +94,46 @@ object Similarity {
   }
 
   /** Deterministic ±1 plane coefficients (shared with tests/oracle). */
-  def planeSign(p: Int, d: Int): Boolean = {
+  def planeSign(table: Int, p: Int, d: Int): Boolean = {
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$p:$d".getBytes("UTF-8"))
+      .digest(s"$table:$p:$d".getBytes("UTF-8"))
     (md(0) & 1) == 1
   }
 
-  /** ANN top-k: rank candidates only within the query's LSH bucket.
-    * Recall measured against [[bruteForceTopK]] in the test suite.
+  /** All (table, bucket) keys of a vector, as an array column —
+    * exploded into the blocking-key stream.
+    */
+  private def lshKeys(vec: Column, tables: Int, planes: Int,
+                      dims: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+             lshBucket(vec, t, planes, dims).as("bucket"))): _*)
+
+  /** ANN top-k via multi-table LSH: candidates are corpus vectors
+    * sharing any table's bucket with the query (multi-table union is
+    * what keeps recall high on near-orthogonal data); ranking is then
+    * exact cosine over candidates only. Recall vs [[bruteForceTopK]]
+    * is measured in the test suite.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 8,
+              vecCol: String, k: Int, planes: Int = 4, tables: Int = 8,
               dims: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes, dims))
+      .withColumn("kk", explode(lshKeys(col("cv"), tables, planes, dims)))
+      .select(col("neighbor_id"), col("cv"),
+              col("kk.tbl"), col("kk.bucket"))
     val q = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes, dims))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("kk", explode(lshKeys(col("qv"), tables, planes, dims)))
+      .select(col("query_id"), col("qv"), col("kk.tbl"), col("kk.bucket"))
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score_nanos",
-        floor(dot(col("qv"), col("cv"))
-          / (norm(col("qv")) * norm(col("cv"))) * lit(1e9)).cast("long"))
+      .select("query_id", "neighbor_id", "qv", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("score_nanos",
+      floor(dot(col("qv"), col("cv"))
+        / (norm(col("qv")) * norm(col("cv"))) * lit(1e9)).cast("long"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_nanos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,177 @@
+package graft.run
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.core.TierSpec
+import graft.ops.Rollup
+import graft.table.{PartitionLineage, TierTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental tier-cascade runner: raw web pages → 5m → 1h → 1d → 30d
+  * tier tables, maintained as incrementally-merged snapshots.
+  *
+  * Semantics (reference mapping):
+  *  - I1 watermark: an incremental run recomputes only the day-buckets
+  *    whose raw input changed (here: the days present in the new input
+  *    increment), like `--modified-days-ago`
+  *    (/root/reference/src/vptstools/bin/vph5_to_vpts.py:44-51,120-144).
+  *  - I2 late data: recompute-the-partition, not merge-the-delta —
+  *    each touched day partition of each tier is rebuilt from the
+  *    finer tier and committed copy-on-write
+  *    (vph5_to_vpts.py:153-202).
+  *  - I3 failure isolation: per-partition try/catch with a status row
+  *    in the run manifest (vph5_to_vpts.py:198-201).
+  *  - K4 lineage: each run writes a checkpoint manifest recording per
+  *    partition {input snapshot id, bucket id, row count, checksum,
+  *    status} (vpts.py:320-343 descriptor, generalized).
+  *  - I5/resume: a rerun of the same run id skips partitions already
+  *    committed ok (idempotent replays).
+  *
+  * Partition column: the 1d bucket (`day_epoch`) at every tier — day
+  * is the natural recompute unit (matches the reference's daily files)
+  * and divides all tier widths except 30d, whose buckets are rebuilt
+  * from any touched member day.
+  */
+final class TierRunner(spark: SparkSession, root: String) {
+
+  private def tableFor(tier: TierSpec): TierTable =
+    new TierTable(s"$root/tier_${tier.name}", spark).init()
+
+  private val rawTable = new TierTable(s"$root/tier_raw", spark).init()
+
+  /** Append a raw increment (new web pages) as a new raw snapshot,
+    * partitioned by day. Returns the set of touched day partitions.
+    */
+  def ingest(pages: DataFrame): Set[String] = {
+    val withDay = pages.withColumn("day_epoch",
+      (col("warc_epoch") - (col("warc_epoch") % TierSpec.T1d.seconds)))
+    val prior = rawTable.currentSnapshotId
+    // copy-on-write by day: merge the increment with existing rows of
+    // the touched days so a day partition is always complete
+    val touchedDays = withDay.select("day_epoch").distinct()
+      .collect().map(_.getLong(0).toString).toSet
+    val merged = prior match {
+      case None => withDay
+      case Some(_) =>
+        val existing = rawTable.read()
+          .filter(col("day_epoch").isin(touchedDays.map(_.toLong).toSeq: _*))
+        existing.unionByName(withDay)
+    }
+    rawTable.commitOverwrite(merged, "day_epoch")
+    touchedDays
+  }
+
+  def rawSnapshot: Option[Long] = rawTable.currentSnapshotId
+
+  /** Run the cascade incrementally for the given touched day
+    * partitions; write a checkpoint manifest under `runId`. Resumable:
+    * partitions marked ok in an existing manifest for `runId` are
+    * skipped.
+    */
+  def run(runId: String, touchedDays: Set[String]): RunManifest = {
+    val ckptPath = Paths.get(s"$root/checkpoints/run-$runId.json")
+    Files.createDirectories(ckptPath.getParent)
+    val previous: Map[String, String] =
+      if (Files.exists(ckptPath))
+        RunManifest.parseStatuses(Files.readString(ckptPath))
+      else Map.empty
+
+    val inputSnapshot = rawTable.currentSnapshotId.getOrElse(
+      throw new IllegalStateException("no raw snapshot ingested"))
+    val raw = rawTable.read()
+    val dayLit = touchedDays.map(_.toLong).toSeq
+
+    var entries = Vector.newBuilder[(String, String, Long, String)]
+    // (tier, partition, rows, status)
+
+    // ---- 5m from raw (only touched days) ----
+    var finer: DataFrame = null
+    for (tier <- TierSpec.cascade) {
+      val tbl = tableFor(tier)
+      val key = s"${tier.name}"
+      val partitions: Set[String] =
+        if (tier.seconds <= TierSpec.T1d.seconds) touchedDays
+        else {
+          // 30d buckets containing any touched day
+          touchedDays.map(d =>
+            (d.toLong - (d.toLong % tier.seconds)).toString)
+        }
+      val already = partitions.filter(p => previous.get(s"$key/$p").contains("ok"))
+      val todo = partitions -- already
+      if (todo.nonEmpty) {
+        try {
+          val source: DataFrame =
+            if (tier == TierSpec.T5m)
+              Rollup.fromRaw(raw.filter(col("day_epoch").isin(dayLit: _*)),
+                             tier)
+            else if (tier.seconds <= TierSpec.T1d.seconds)
+              Rollup.cascade(finer, tier)
+            else {
+              // 30d: rebuild whole 30d buckets from the full 1d tier
+              val t1d = tableFor(TierSpec.T1d).read()
+              val bucketLit = todo.map(_.toLong).toSeq
+              Rollup.cascade(
+                t1d.filter(
+                  (col("bucket_epoch") - (col("bucket_epoch") % tier.seconds))
+                    .isin(bucketLit: _*)), tier)
+            }
+          val withPart = source.withColumn("day_epoch",
+            if (tier.seconds <= TierSpec.T1d.seconds)
+              col("bucket_epoch") - (col("bucket_epoch") % TierSpec.T1d.seconds)
+            else col("bucket_epoch"))
+          val lineage = todo.map(p =>
+            p -> PartitionLineage(inputSnapshot, "ok")).toMap
+          val m = tbl.commitOverwrite(withPart, "day_epoch", lineage)
+          todo.foreach { p =>
+            val rows = m.partitions.get(p).map(_.rows).getOrElse(0L)
+            entries += ((key, p, rows, "ok"))
+          }
+        } catch {
+          case e: Exception =>
+            todo.foreach(p => entries += ((key, p, 0L, s"error:${e.getClass.getSimpleName}")))
+        }
+      }
+      already.foreach(p => entries += ((key, p, -1L, "ok"))) // resumed
+      finer =
+        if (tier.seconds <= TierSpec.T1d.seconds)
+          tableFor(tier).read().filter(col("day_epoch").isin(dayLit: _*))
+        else finer
+    }
+
+    val manifest = RunManifest(runId, inputSnapshot, entries.result())
+    val tmp = ckptPath.resolveSibling(s".run-$runId.json.tmp")
+    Files.writeString(tmp, manifest.toJson)
+    Files.move(tmp, ckptPath, StandardCopyOption.ATOMIC_MOVE,
+               StandardCopyOption.REPLACE_EXISTING)
+    manifest
+  }
+
+  /** Read a tier's current snapshot. */
+  def tier(t: TierSpec): DataFrame = tableFor(t).read()
+}
+
+/** Checkpoint manifest of one tier run: per (tier, partition) lineage
+  * + metrics. JSON format is hand-rolled (no external deps) and
+  * parsed back only for resume status.
+  */
+final case class RunManifest(runId: String, inputSnapshot: Long,
+                             entries: Seq[(String, String, Long, String)]) {
+  def toJson: String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val parts = entries.map { case (tier, p, rows, status) =>
+      s"""{"tier":${q(tier)},"partition":${q(p)},"rows":$rows,"status":${q(status)}}"""
+    }.mkString("[", ",", "]")
+    s"""{"run_id":${q(runId)},"input_snapshot":$inputSnapshot,"partitions":$parts}"""
+  }
+  def okCount: Int = entries.count(_._4 == "ok")
+}
+
+object RunManifest {
+  /** partition-status map "tier/partition" -> status. */
+  def parseStatuses(json: String): Map[String, String] = {
+    val re = """\{"tier":"([^"]*)","partition":"([^"]*)","rows":(-?\d+),"status":"([^"]*)"\}""".r
+    re.findAllMatchIn(json)
+      .map(m => s"${m.group(1)}/${m.group(2)}" -> m.group(4)).toMap
+  }
+}

@@ -1,0 +1,203 @@
+package graft.table
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-shaped snapshot/manifest table layer over Parquet
+  * directories — the exact subset of Iceberg semantics the target spec
+  * exercises (incremental snapshots, partition-level commits, lineage),
+  * with the catalog interface kept swappable for a real Iceberg runtime
+  * (none ships in this sandbox; see SURVEY.md §4.3).
+  *
+  * Layout under `root/`:
+  * {{{
+  *   data/s<k>/part=<p>/…parquet     one dir per (snapshot, partition)
+  *   manifests/manifest-<k>.json     snapshot manifest (see [[Manifest]])
+  *   CURRENT                         atomic pointer: current snapshot id
+  * }}}
+  *
+  * Commits are atomic: data is fully written, the manifest is written,
+  * then CURRENT is atomically moved into place — a reader always sees a
+  * complete snapshot, and a crashed writer leaves CURRENT untouched
+  * (resume-safe, mirroring the reference's idempotent-ingest semantics,
+  * /root/reference/src/vptstools/bin/transfer_baltrad.py:141-163).
+  *
+  * Snapshots are copy-on-write per partition: a new snapshot carries
+  * forward the previous snapshot's partition directories except those
+  * it overwrites — the reference's recompute-the-partition late-data
+  * model (/root/reference/src/vptstools/bin/vph5_to_vpts.py:153-202).
+  */
+final class TierTable(val root: String, spark: SparkSession) {
+
+  private val rootPath = Paths.get(root)
+  private val manifests = rootPath.resolve("manifests")
+  private val current = rootPath.resolve("CURRENT")
+
+  def init(): this.type = {
+    Files.createDirectories(manifests)
+    Files.createDirectories(rootPath.resolve("data"))
+    this
+  }
+
+  def currentSnapshotId: Option[Long] =
+    if (Files.exists(current)) Some(Files.readString(current).trim.toLong)
+    else None
+
+  def manifest(snapshot: Long): Manifest =
+    Manifest.fromJson(Files.readString(
+      manifests.resolve(s"manifest-$snapshot.json")))
+
+  def currentManifest: Option[Manifest] = currentSnapshotId.map(manifest)
+
+  /** Commit a new snapshot overwriting the given partitions.
+    * `df` must contain `partitionCol`; only the listed partitions may
+    * be present in it. Unlisted partitions are carried forward from
+    * the parent snapshot (copy-on-write).
+    */
+  def commitOverwrite(df: DataFrame, partitionCol: String,
+                      lineage: Map[String, PartitionLineage] = Map.empty)
+      : Manifest = {
+    val parent = currentManifest
+    val snap = parent.map(_.snapshot + 1).getOrElse(0L)
+    val stamp = System.currentTimeMillis()
+
+    // Write new partition data under this snapshot's directory.
+    val dataDir = rootPath.resolve(s"data/s$snap").toString
+    df.write.partitionBy(partitionCol).mode("overwrite").parquet(dataDir)
+
+    // Stats per freshly-written partition (from the written files, so
+    // the manifest describes exactly what a reader will see).
+    val written = spark.read.parquet(dataDir)
+    // order-insensitive content checksum: XOR-fold of per-row xxhash64
+    // (sum would overflow long under ANSI arithmetic)
+    val stats = written.groupBy(col(partitionCol).cast("string").as("p"))
+      .agg(count(lit(1)).as("rows"),
+           expr(s"bit_xor(xxhash64(${written.columns.map(c => s"`$c`").mkString(",")}))")
+             .as("checksum"))
+      .collect()
+      .map(r => r.getString(0) ->
+        PartitionEntry(s"data/s$snap/$partitionCol=${r.getString(0)}",
+          r.getLong(1), r.getLong(2),
+          lineage.get(r.getString(0))))
+      .toMap
+
+    // Carry forward untouched partitions from the parent.
+    val carried = parent.map(_.partitions).getOrElse(Map.empty) -- stats.keySet
+    val m = Manifest(snap, parent.map(_.snapshot), stamp, partitionCol,
+                     carried ++ stats)
+
+    val tmp = manifests.resolve(s".manifest-$snap.json.tmp")
+    Files.writeString(tmp, m.toJson)
+    Files.move(tmp, manifests.resolve(s"manifest-$snap.json"),
+               StandardCopyOption.ATOMIC_MOVE)
+    val ctmp = rootPath.resolve(".CURRENT.tmp")
+    Files.writeString(ctmp, snap.toString)
+    Files.move(ctmp, current, StandardCopyOption.ATOMIC_MOVE,
+               StandardCopyOption.REPLACE_EXISTING)
+    m
+  }
+
+  /** Read the current snapshot (union of its partition directories). */
+  def read(): DataFrame = {
+    val m = currentManifest.getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    readManifest(m)
+  }
+
+  def readSnapshot(snapshot: Long): DataFrame = readManifest(manifest(snapshot))
+
+  private def readManifest(m: Manifest): DataFrame = {
+    if (m.partitions.isEmpty)
+      throw new IllegalStateException(s"empty snapshot ${m.snapshot}")
+    // Partition leaves of one snapshot live under different s<k> dirs
+    // (copy-on-write), which defeats directory-based partition
+    // inference — read each leaf and re-attach the partition value
+    // from the manifest (numeric partition keys: epoch-day buckets).
+    m.partitions.toSeq.sortBy(_._1)
+      .map { case (key, p) =>
+        spark.read.parquet(s"$root/${p.path}")
+          .withColumn(m.partitionCol, lit(key.toLong))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** Partitions whose content changed between two snapshots — the
+    * snapshot-diff that drives incremental recompute of coarser tiers
+    * (watermark semantics, vph5_to_vpts.py:120-144).
+    */
+  def changedPartitions(fromSnapshot: Option[Long], toSnapshot: Long)
+      : Set[String] = {
+    val to = manifest(toSnapshot).partitions
+    fromSnapshot match {
+      case None => to.keySet
+      case Some(f) =>
+        val from = manifest(f).partitions
+        to.filter { case (k, v) =>
+          !from.get(k).exists(o => o.checksum == v.checksum && o.rows == v.rows)
+        }.keySet
+    }
+  }
+}
+
+/** Per-partition lineage recorded in the manifest (north rule: input
+  * snapshot id, bucket id, row counts, checksums + status).
+  */
+final case class PartitionLineage(inputSnapshot: Long, status: String,
+                                  error: Option[String] = None)
+
+final case class PartitionEntry(path: String, rows: Long, checksum: Long,
+                                lineage: Option[PartitionLineage])
+
+final case class Manifest(snapshot: Long, parent: Option[Long],
+                          timestampMs: Long, partitionCol: String,
+                          partitions: Map[String, PartitionEntry]) {
+
+  def totalRows: Long = partitions.values.map(_.rows).sum
+
+  def toJson: String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val parts = partitions.toSeq.sortBy(_._1).map { case (k, p) =>
+      val lin = p.lineage.map(l =>
+        s""","lineage":{"input_snapshot":${l.inputSnapshot},"status":${q(l.status)}""" +
+          l.error.map(e => s""","error":${q(e)}""").getOrElse("") + "}")
+        .getOrElse("")
+      s"""${q(k)}:{"path":${q(p.path)},"rows":${p.rows},"checksum":${p.checksum}$lin}"""
+    }.mkString("{", ",", "}")
+    s"""{"snapshot":$snapshot,"parent":${parent.map(_.toString).getOrElse("null")},""" +
+      s""""timestamp_ms":$timestampMs,"partition_col":${q(partitionCol)},""" +
+      s""""partitions":$parts}"""
+  }
+}
+
+object Manifest {
+  /** Minimal JSON reader for manifests this class wrote (no external
+    * JSON library; the format is fully under our control).
+    */
+  def fromJson(s: String): Manifest = {
+    import scala.util.matching.Regex
+    def longField(name: String): Long =
+      s"""\"$name\":(-?\\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+    val parent = """"parent":(null|\d+)""".r.findFirstMatchIn(s).get.group(1) match {
+      case "null" => None
+      case n      => Some(n.toLong)
+    }
+    val partitionCol =
+      """"partition_col":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s).get.group(1)
+    val entryRe: Regex =
+      ("\"((?:[^\"\\\\]|\\\\.)*)\":\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+        "\"rows\":(-?\\d+),\"checksum\":(-?\\d+)" +
+        "(?:,\"lineage\":\\{\"input_snapshot\":(-?\\d+),\"status\":\"((?:[^\"\\\\]|\\\\.)*)\"" +
+        "(?:,\"error\":\"((?:[^\"\\\\]|\\\\.)*)\")?\\})?\\}").r
+    val body = s.substring(s.indexOf("\"partitions\":") + "\"partitions\":".length)
+    val parts = entryRe.findAllMatchIn(body).map { m =>
+      val lineage = Option(m.group(5)).map(is =>
+        PartitionLineage(is.toLong, m.group(6), Option(m.group(7))))
+      m.group(1) -> PartitionEntry(m.group(2), m.group(3).toLong,
+                                   m.group(4).toLong, lineage)
+    }.toMap
+    Manifest(longField("snapshot"), parent, longField("timestamp_ms"),
+             partitionCol, parts)
+  }
+}

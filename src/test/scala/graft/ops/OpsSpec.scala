@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSuite
+import graft.core.{Flag, TierSpec}
+import graft.ingest.WebPages
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the rollup cascade + gap-fill (the reference's §5.3
+  * invariant-test style re-targeted at our grid).
+  */
+class OpsSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val pages = WebPages.load(spark, sfDir).cache()
+  private lazy val r5m = Rollup.fromRaw(pages, TierSpec.T5m).cache()
+
+  test("cascade conserves counts and sums at every tier") {
+    val raw = pages.count()
+    val rawChars = pages.agg(sum("n_chars")).head.getLong(0)
+    var finer = r5m
+    for (tier <- TierSpec.cascade.tail) {
+      finer = Rollup.cascade(finer, tier)
+      val agg = finer.agg(sum("n"), sum("sum_chars")).head
+      assert(agg.getLong(0) == raw, s"count conservation at ${tier.name}")
+      assert(agg.getLong(1) == rawChars, s"sum conservation at ${tier.name}")
+    }
+  }
+
+  test("salted rollup equals unsalted rollup") {
+    val plain = Rollup.fromRaw(pages, TierSpec.T1h)
+    val salted = Rollup.fromRawSalted(pages, TierSpec.T1h, saltBuckets = 7)
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("bucket starts are tier-aligned") {
+    for (tier <- TierSpec.cascade) {
+      val r = Rollup.fromRaw(pages, tier)
+      assert(r.filter(col("bucket_epoch") % tier.seconds =!= 0).isEmpty)
+    }
+  }
+
+  test("gap-fill materializes the complete fixed grid per series") {
+    val dense = GapFill.dense(r5m, TierSpec.T5m)
+    val bounds = r5m.agg(min("bucket_epoch"), max("bucket_epoch")).head
+    val gridLen = (bounds.getLong(1) - bounds.getLong(0)) / 300 + 1
+    val nSeries = r5m.select("domain").distinct().count()
+    assert(dense.count() == gridLen * nSeries)
+    // the same fixed ladder for every series (reference
+    // tests/test_vpts.py:141-146 analog)
+    val perSeries = dense.groupBy("domain")
+      .agg(countDistinct("bucket_epoch").as("nb"))
+      .select("nb").distinct().collect()
+    assert(perSeries.length == 1 && perSeries.head.getLong(0) == gridLen)
+  }
+
+  test("gap rows are flagged null-markers; observed rows keep measures") {
+    val dense = GapFill.dense(r5m, TierSpec.T5m)
+    assert(dense.filter(col("is_gap") && col("flag") =!= Flag.NODATA).isEmpty)
+    assert(dense.filter(!col("is_gap") && col("flag") =!= Flag.OK).isEmpty)
+    assert(dense.filter(col("is_gap") && col("n").isNotNull).isEmpty)
+    assert(dense.filter(!col("is_gap") && col("n").isNull).isEmpty)
+  }
+
+  test("forward-fill carries last observation; leading gaps stay null") {
+    val dense = GapFill.dense(r5m, TierSpec.T5m)
+    val filled = GapFill.forwardFill(dense)
+    // no nulls after a series' first observation
+    val firstObs = dense.filter(!col("is_gap"))
+      .groupBy("domain").agg(min("bucket_epoch").as("first_obs"))
+    val bad = filled.join(firstObs, "domain")
+      .filter(col("bucket_epoch") >= col("first_obs") &&
+              col("ffill_value").isNull)
+    assert(bad.isEmpty)
+    // leading gaps have no value
+    assert(filled.join(firstObs, "domain")
+      .filter(col("bucket_epoch") < col("first_obs") &&
+              col("ffill_value").isNotNull).isEmpty)
+    // observed rows carry their own value
+    assert(filled.filter(!col("is_gap") &&
+      col("ffill_value") =!= col("sum_value_micros")).isEmpty)
+  }
+
+  test("web-pages per-row invariant: text extracted from html is byte-identical") {
+    assert(pages.filter(
+      WebPages.extractText(col("html")) =!= col("text")).isEmpty)
+    // and the html payload is non-trivial binary
+    assert(pages.filter(length(col("html")) <= length(col("text"))).isEmpty)
+  }
+}
