@@ -25,16 +25,26 @@ object Bench {
     val p = WebPages.load(spark, sfDir)
     if (r <= 1) p
     else p
+      // the sf parquet is a single small file = one scan split; spread
+      // the base rows across the cluster BEFORE the multiplying explode
+      // so replication (and everything downstream) is fully parallel
+      .repartition(spark.sparkContext.defaultParallelism * 2)
       .withColumn("_rep", explode(sequence(lit(0), lit(r - 1))))
       .withColumn("warc_epoch", col("warc_epoch") + col("_rep"))
       .withColumn("event_id", col("event_id") * r + col("_rep"))
       .drop("_rep")
   }
 
-  /** The headline job: full tier cascade; returns (points, seconds). */
+  /** The headline job: full tier cascade carrying the byte-identical
+    * text invariant (per-row html→text decode + hash folded through
+    * every tier as `text_sha`) — the realistic 100 TB workload shape,
+    * where the scan touches the payload column. Returns
+    * (points, seconds).
+    */
   def cascadeRun(pages: DataFrame): (Long, Double) = {
     val t0 = System.nanoTime()
-    val t5m = Rollup.fromRaw(pages, TierSpec.T5m)
+    val t5m = Rollup.fromRaw(pages, TierSpec.T5m,
+      textSha = Some(xxhash64(WebPages.extractText(col("html")))))
     t5m.persist()
     val t1h = Rollup.cascade(t5m, TierSpec.T1h)
     t1h.persist()

@@ -59,8 +59,12 @@ object Queries {
 
     "ts_gapfill_1h" -> QueryDef(
       run = (s, dir) => {
-        val r5 = Rollup.fromRaw(pages(s, dir), TierSpec.T5m)
-        val r1h = Rollup.cascade(r5, TierSpec.T1h)
+        // dense() references its input three times (bounds, series,
+        // join); persist so the rollup subtree is computed once — the
+        // production path (TierRunner) reads a materialized tier
+        // instead.
+        val r1h = Rollup.cascade(
+          Rollup.fromRaw(pages(s, dir), TierSpec.T5m), TierSpec.T1h).persist()
         GapFill.dense(r1h, TierSpec.T1h)
       },
       oracle = Some(GapFill.denseOracleSql(TierSpec.T1h))),
@@ -68,7 +72,7 @@ object Queries {
     "ts_ffill_1h" -> QueryDef(
       run = (s, dir) => {
         val r1h = Rollup.cascade(
-          Rollup.fromRaw(pages(s, dir), TierSpec.T5m), TierSpec.T1h)
+          Rollup.fromRaw(pages(s, dir), TierSpec.T5m), TierSpec.T1h).persist()
         GapFill.forwardFill(GapFill.dense(r1h, TierSpec.T1h))
           .select("domain", "bucket_epoch", "is_gap", "ffill_value")
       },
@@ -215,6 +219,32 @@ object Queries {
            |       CAST(count(*) AS BIGINT) AS file_count
            |FROM files GROUP BY 1, 2""".stripMargin)),
 
+    // P7 root_datetime parse + P8 "WMO:…,NOD:…" k:v source parse
+    // (odimh5.py:79-116) via str_to_map / to_timestamp.
+    "meta_parse" -> QueryDef(
+      run = (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val src = concat(lit("WMO:0"), col("user_id").cast("string"),
+                         lit(",NOD:"), col("event_type"), lit(",CTY:unk"))
+        val m = str_to_map(src, lit(","), lit(":"))
+        ev.select(
+          col("event_id"),
+          element_at(m, "NOD").as("nod"),
+          element_at(m, "WMO").as("wmo"),
+          unix_timestamp(to_timestamp(
+            concat(date_format(col("ts"), "yyyyMMdd"),
+                   date_format(col("ts"), "HHmmss")),
+            "yyyyMMddHHmmss")).as("root_epoch"))
+      },
+      oracle = Some(
+        """SELECT event_id,
+          |       event_type AS nod,
+          |       concat('0', CAST(user_id AS VARCHAR)) AS wmo,
+          |       CAST(epoch_us(strptime(strftime(ts, '%Y%m%d%H%M%S'),
+          |                              '%Y%m%d%H%M%S')) // 1000000 AS BIGINT)
+          |         AS root_epoch
+          |FROM events""".stripMargin)),
+
     // F3/I1 modified-since watermark: the incremental recompute set.
     "watermark_filter" -> QueryDef(
       run = (s, dir) => pages(s, dir)
@@ -310,6 +340,24 @@ object Queries {
           "min_value_micros", "max_value_micros")
       },
       oracle = Some(Rollup.oracleSql(TierSpec.T1d))),
+
+    // Per-(series, day) Gorilla value blocks stored as binary columns:
+    // decoding the stored blocks must reproduce the 5m tier points.
+    "gorilla_blocks" -> QueryDef(
+      run = (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-blocks").toString
+        val runner = new graft.run.TierRunner(s, root)
+        runner.run("b1", runner.ingest(pages(s, dir)))
+        runner.decodedBlocks()
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       warc_epoch - (warc_epoch % 300) AS bucket_epoch,
+           |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) AS value
+           |FROM webpages
+           |GROUP BY 1, 2""".stripMargin)),
 
     // A5 distinct-set invariant: buckets per series at the 1h tier.
     "distinct_buckets" -> QueryDef(

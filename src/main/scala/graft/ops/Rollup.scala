@@ -53,22 +53,38 @@ object Rollup {
 
   /** Raw web pages → finest tier. `pages` needs columns
     * (seriesCols…, warc_epoch, n_chars, value).
+    *
+    * `textSha`: optional per-row invariant hash (e.g.
+    * `xxhash64(WebPages.extractText(col("html")))`). Folded into a
+    * per-bucket `text_sha` via bit_xor — XOR is associative and
+    * commutative, so every coarser tier's `text_sha` is the XOR over
+    * all contributing raw rows: the byte-identical-text invariant
+    * travels through the whole cascade as one 8-byte column.
     */
   def fromRaw(pages: DataFrame, tier: TierSpec,
-              seriesCols: Seq[String] = Seq("domain")): DataFrame =
+              seriesCols: Seq[String] = Seq("domain"),
+              textSha: Option[Column] = None): DataFrame = {
+    val aggs = measures ++ textSha.map(c => bit_xor(c).as("text_sha")).toSeq
     pages
       .withColumn("value_micros", micros(col("value")))
       .groupBy(seriesCols.map(col) :+ bucket(col("warc_epoch"), tier): _*)
-      .agg(measures.head, measures.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Finer tier → coarser tier (partial-agg merge). Input must be the
-    * output of [[fromRaw]] or a previous [[cascade]] step.
+    * output of [[fromRaw]] or a previous [[cascade]] step. A `text_sha`
+    * column, if present, merges by XOR.
     */
   def cascade(finer: DataFrame, tier: TierSpec,
-              seriesCols: Seq[String] = Seq("domain")): DataFrame =
+              seriesCols: Seq[String] = Seq("domain")): DataFrame = {
+    val aggs =
+      if (finer.columns.contains("text_sha"))
+        merged :+ bit_xor(col("text_sha")).as("text_sha")
+      else merged
     finer
       .groupBy(seriesCols.map(col) :+ bucket(col("bucket_epoch"), tier): _*)
-      .agg(merged.head, merged.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Full cascade: raw → Map(tierName → rollup), each tier derived from
     * the previous. Caller may persist intermediate tiers.

@@ -39,6 +39,7 @@ final class TierRunner(spark: SparkSession, root: String) {
     new TierTable(s"$root/tier_${tier.name}", spark).init()
 
   private val rawTable = new TierTable(s"$root/tier_raw", spark).init()
+  private val blocksTable = new TierTable(s"$root/blocks_5m", spark).init()
 
   /** Append a raw increment (new web pages) as a new raw snapshot,
     * partitioned by day. Returns the set of touched day partitions.
@@ -139,6 +140,33 @@ final class TierRunner(spark: SparkSession, root: String) {
         else finer
     }
 
+    // ---- Gorilla value blocks: one compressed binary block per
+    // (series, day) over the 5m points (north-star binary column) ----
+    locally {
+      val key = "blocks"
+      val todo = touchedDays.filterNot(p =>
+        previous.get(s"$key/$p").contains("ok"))
+      if (todo.nonEmpty) {
+        try {
+          val t5m = tableFor(TierSpec.T5m).read()
+            .filter(col("day_epoch").isin(dayLit: _*))
+          val blocks = t5m.groupBy(col("domain"), col("day_epoch"))
+            .agg(graft.codec.GorillaAgg.gorillaEncode(
+              col("bucket_epoch"),
+              col("sum_value_micros").cast("double")).as("block"))
+          val lineage = todo.map(p =>
+            p -> PartitionLineage(inputSnapshot, "ok")).toMap
+          val m = blocksTable.commitOverwrite(blocks, "day_epoch", lineage)
+          todo.foreach { p =>
+            entries += ((key, p, m.partitions.get(p).map(_.rows).getOrElse(0L), "ok"))
+          }
+        } catch {
+          case e: Exception =>
+            todo.foreach(p => entries += ((key, p, 0L, s"error:${e.getClass.getSimpleName}")))
+        }
+      }
+    }
+
     val manifest = RunManifest(runId, inputSnapshot, entries.result())
     val tmp = ckptPath.resolveSibling(s".run-$runId.json.tmp")
     Files.writeString(tmp, manifest.toJson)
@@ -149,6 +177,20 @@ final class TierRunner(spark: SparkSession, root: String) {
 
   /** Read a tier's current snapshot. */
   def tier(t: TierSpec): DataFrame = tableFor(t).read()
+
+  /** Read the per-(series, day) Gorilla value blocks. */
+  def blocks(): DataFrame = blocksTable.read()
+
+  /** Decode the block table back to (domain, bucket_epoch, value)
+    * points — the generator inverse of the block encode.
+    */
+  def decodedBlocks(): DataFrame = {
+    val b = blocks()
+    b.select(col("domain"),
+        explode(graft.codec.GorillaAgg.gorillaDecode(col("block"))).as("pt"))
+      .select(col("domain"), col("pt.ts_epoch").as("bucket_epoch"),
+              col("pt.value"))
+  }
 }
 
 /** Checkpoint manifest of one tier run: per (tier, partition) lineage
