@@ -219,6 +219,49 @@ object Queries {
            |       CAST(count(*) AS BIGINT) AS file_count
            |FROM files GROUP BY 1, 2""".stripMargin)),
 
+    // S5 manifest JSON scan: per-day inventory manifests
+    // ({"files":[{"key":…}…]}, s3.py:156-174) built from the data,
+    // then from_json + explode back to per-file keys.
+    "manifest_scan" -> QueryDef(
+      run = (s, dir) => {
+        import org.apache.spark.sql.types._
+        val day = Rollup.bucket(col("warc_epoch"), TierSpec.T1d)
+        val manifests = pages(s, dir)
+          .select(col("domain"), day, col("url"))
+          .groupBy("domain", "bucket_epoch")
+          .agg(to_json(struct(collect_list(struct(col("url").as("key")))
+            .as("files"))).as("manifest_json"))
+        val schema = StructType(Seq(StructField("files", ArrayType(
+          StructType(Seq(StructField("key", StringType)))))))
+        manifests
+          .select(col("domain"), col("bucket_epoch").as("day_epoch"),
+            explode(from_json(col("manifest_json"), schema)("files")).as("f"))
+          .groupBy("domain", "day_epoch")
+          .agg(count(col("f.key")).as("n_files"))
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       warc_epoch - (warc_epoch % 86400) AS day_epoch,
+           |       CAST(count(*) AS BIGINT) AS n_files
+           |FROM webpages GROUP BY 1, 2""".stripMargin)),
+
+    // F1 format gate with quarantine side-channel (odimh5.py:141-151:
+    // reject non-VP products; here: bad-record channel instead of abort).
+    "format_gate" -> QueryDef(
+      run = (s, dir) => pages(s, dir).select(
+        col("event_id"),
+        when(col("lang") === "zh", lit("quarantined:unsupported_lang"))
+          .when(length(col("text")) < 60, lit("quarantined:too_short"))
+          .otherwise(lit("ok")).as("status")),
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT event_id,
+           |       CASE WHEN lang = 'zh' THEN 'quarantined:unsupported_lang'
+           |            WHEN length(text) < 60 THEN 'quarantined:too_short'
+           |            ELSE 'ok' END AS status
+           |FROM webpages""".stripMargin)),
+
     // P7 root_datetime parse + P8 "WMO:…,NOD:…" k:v source parse
     // (odimh5.py:79-116) via str_to_map / to_timestamp.
     "meta_parse" -> QueryDef(

@@ -42,16 +42,12 @@ object GorillaAgg {
   def gorillaEncode(ts: Column, value: Column): Column =
     udaf(encodeAgg).apply(ts, value)
 
-  private val decodeUdf = udf { block: Array[Byte] =>
-    val (ts, vs) = Gorilla.decode(block)
-    ts.zip(vs).toSeq
-  }
-
   /** Column function: block -> array<struct<ts_epoch, value>>. Use with
-    * `inline`/`explode` to regenerate point rows.
+    * `inline`/`explode` to regenerate point rows. Backed by the native
+    * Catalyst [[GorillaDecodeExpression]] (no UDF encoder boundary).
     */
   def gorillaDecode(block: Column): Column =
-    decodeUdf(block).cast("array<struct<ts_epoch:bigint,value:double>>")
+    GorillaDecodeExpression(block)
 
   /** Round-trip convenience: encode per group, decode, explode back to
     * (groupCols…, ts_epoch, value) rows — the identity on the input

@@ -102,11 +102,21 @@ object TextStats {
   def fingerprint60(text: Column): Column = Portable.hash60(lower(text))
   def fingerprint60Sql(expr: String): String = Portable.hash60Sql(s"lower($expr)")
 
+  /** BPE-ish token count: alternation of letter runs, digit runs, and
+    * single non-alphanumeric marks (the classic pre-tokenizer regex).
+    */
+  private val bpeRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeRegex), lit(0))).cast("long")
+  def tokenCountBpeSql(expr: String): String =
+    s"CAST(len(regexp_extract_all($expr, '$bpeRegex')) AS BIGINT)"
+
   /** Full per-document stats projection. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),
       Portable.tokenCount(col(textCol)).as("n_tokens"),
+      tokenCountBpe(col(textCol)).as("n_tokens_bpe"),
       langId(col(textCol)).as("lang_pred"),
       qualityMilli(col(textCol)).as("quality_milli"),
       fingerprint(col(textCol)).as("fp_md5"),
@@ -117,6 +127,7 @@ object TextStats {
     s"""$fromCte
        |SELECT $idCol,
        |       ${Portable.tokenCountSql(textCol)} AS n_tokens,
+       |       ${tokenCountBpeSql(textCol)} AS n_tokens_bpe,
        |       ${langIdSql(textCol)} AS lang_pred,
        |       ${qualityMilliSql(textCol)} AS quality_milli,
        |       ${fingerprintSql(textCol)} AS fp_md5,
