@@ -69,11 +69,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val rep = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "1").toInt
+    // default 100x replication: the unreplicated sf tables are small
+    // enough that the headline cascade is fixed-overhead-dominated;
+    // 100x gives sustained-throughput numbers (per-query timings below
+    // still run at the raw sfDir scale)
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "100").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing sizes post-shuffle partitions from the PRE-explode
+      // map output (tiny) and would serialize the 100-2000x replication
+      // explode into one task
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

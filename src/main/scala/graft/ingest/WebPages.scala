@@ -49,7 +49,15 @@ object WebPages {
           .as("html"),
         col("text"), col("lang"), col("n_chars"), col("value"),
         col("event_id"), col("doc_id"))
+      // explicit url-hash bucket: the clustering key for co-located
+      // storage/joins at scale (north rule: url-hash bucketing +
+      // warc_ts range partitioning; the range dimension is the
+      // day_epoch partition in TierTable)
+      .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(UrlBuckets)))
   }
+
+  /** Number of url-hash buckets (files per day partition at scale). */
+  val UrlBuckets = 16
 
   /** Exact inverse of the html wrapper: byte-identical `text`. */
   def extractText(html: Column): Column = {

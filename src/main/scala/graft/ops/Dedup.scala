@@ -45,19 +45,46 @@ object Dedup {
   // MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** Tokenize to the distinct word set (shingle k=1 keeps the oracle
-    * SQL tractable; the signature math is k-agnostic).
-    */
+  /** Tokenize to the distinct word set. */
   private def wordSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("_id"),
               explode(array_distinct(split(col(textCol), " "))).as("w"))
 
+  /** Distinct k-word shingles (k=1 degenerates to the word set). Short
+    * documents (< k words) produce their single sub-k shingle, matching
+    * the oracle's guard.
+    */
+  private def shingleSet(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    if (k <= 1) return wordSet(df, idCol, textCol)
+    val w = split(col(textCol), " ")
+    val shingles = transform(
+      sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(k))))
+    df.select(col(idCol).as("_id"),
+              explode(array_distinct(shingles)).as("w"))
+  }
+
+  /** DuckDB mirror of [[shingleSet]] as a FROM-able subselect body. */
+  private def shingleSetSql(table: String, idCol: String, textCol: String,
+                            k: Int): String =
+    if (k <= 1)
+      s"SELECT $idCol AS _id, unnest(list_distinct(string_split($textCol, ' '))) AS w FROM $table"
+    else {
+      val parts = (0 until k).map(j => s"w[i+$j]").mkString(", ")
+      s"""SELECT $idCol AS _id,
+         |       unnest(list_distinct(list_transform(
+         |         generate_series(1, greatest(len(w) - ${k - 1}, 1)),
+         |         i -> concat_ws(' ', $parts)))) AS w
+         |FROM (SELECT $idCol, string_split($textCol, ' ') AS w FROM $table)""".stripMargin
+    }
+
   /** MinHash signatures: numHashes min-aggregates over seeded hashes of
-    * the word set. Output: (_id, h0 … h{n-1}).
+    * the distinct shingle set. Output: (_id, h0 … h{n-1}).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int): DataFrame = {
-    val words = wordSet(df, idCol, textCol)
+                        numHashes: Int, shingleK: Int = 3): DataFrame = {
+    val words = shingleSet(df, idCol, textCol, shingleK)
     val aggs = (0 until numHashes).map(i =>
       min(Portable.hashSeeded(i, col("w"))).as(s"h$i"))
     words.groupBy(col("_id")).agg(aggs.head, aggs.tail: _*)
@@ -79,11 +106,17 @@ object Dedup {
       .select(col("_id"), col("bb.band"), col("bb.band_hash"))
   }
 
-  /** Candidate near-duplicate pairs: ids sharing any LSH band bucket. */
+  /** Candidate near-duplicate pairs: ids sharing any LSH band bucket.
+    * k-word shingles (default 3) keep band buckets selective — unigram
+    * shingles over a small vocabulary collide massively (quadratic pair
+    * blowup), which is a corpus property, not an LSH property.
+    */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val b = lshBands(minHashSignatures(df, idCol, textCol, numHashes),
-                     numHashes, bands)
+                 numHashes: Int = 16, bands: Int = 4,
+                 shingleK: Int = 3): DataFrame = {
+    val b = lshBands(
+      minHashSignatures(df, idCol, textCol, numHashes, shingleK),
+      numHashes, bands)
     val l = b.select(col("_id").as("id_a"), col("band"), col("band_hash"))
     val r = b.select(col("_id").as("id_b"), col("band"), col("band_hash"))
     l.join(r, Seq("band", "band_hash"))
@@ -93,7 +126,7 @@ object Dedup {
 
   def minHashLshOracleSql(fromCte: String, table: String, idCol: String,
                           textCol: String, numHashes: Int = 16,
-                          bands: Int = 4): String = {
+                          bands: Int = 4, shingleK: Int = 3): String = {
     val r = numHashes / bands
     val minAggs = (0 until numHashes)
       .map(i => s"min(${Portable.hashSeededSql(i, "w")}) AS h$i")
@@ -104,8 +137,7 @@ object Dedup {
     }.mkString("\n  UNION ALL ")
     s"""$fromCte,
        |words AS (
-       |  SELECT $idCol AS _id, unnest(list_distinct(string_split($textCol, ' '))) AS w
-       |  FROM $table
+       |  ${shingleSetSql(table, idCol, textCol, shingleK).replace("\n", "\n  ")}
        |),
        |sigs AS (
        |  SELECT _id,

@@ -35,15 +35,19 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    // norms are precomputed per vector — not per (query, candidate)
+    // pair, which would redo |corpus|·|queries| reductions
     val c = corpus.select(col(idCol).as("neighbor_id"),
                           asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"),
                            asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score_nanos",
         floor(dot(col("qv"), col("cv"))
-          / (norm(col("qv")) * norm(col("cv"))) * lit(1e9)).cast("long"))
+          / (col("qn") * col("cn")) * lit(1e9)).cast("long"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_nanos").desc, col("neighbor_id"))
     scored
@@ -120,20 +124,23 @@ object Similarity {
               dims: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
       .withColumn("kk", explode(lshKeys(col("cv"), tables, planes, dims)))
-      .select(col("neighbor_id"), col("cv"),
+      .select(col("neighbor_id"), col("cv"), col("cn"),
               col("kk.tbl"), col("kk.bucket"))
     val q = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
       .withColumn("kk", explode(lshKeys(col("qv"), tables, planes, dims)))
-      .select(col("query_id"), col("qv"), col("kk.tbl"), col("kk.bucket"))
+      .select(col("query_id"), col("qv"), col("qn"),
+              col("kk.tbl"), col("kk.bucket"))
     val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qv", "cv")
+      .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand.withColumn("score_nanos",
       floor(dot(col("qv"), col("cv"))
-        / (norm(col("qv")) * norm(col("cv"))) * lit(1e9)).cast("long"))
+        / (col("qn") * col("cn")) * lit(1e9)).cast("long"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_nanos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -59,7 +59,13 @@ final class TierRunner(spark: SparkSession, root: String) {
           .filter(col("day_epoch").isin(touchedDays.map(_.toLong).toSeq: _*))
         existing.unionByName(withDay)
     }
-    rawTable.commitOverwrite(merged, "day_epoch")
+    // explicit clustering: one task (→ one file) per (day, url-bucket),
+    // so downstream same-bucket reads/joins are co-located
+    val clustered =
+      if (merged.columns.contains("url_bucket"))
+        merged.repartition(col("day_epoch"), col("url_bucket"))
+      else merged
+    rawTable.commitOverwrite(clustered, "day_epoch")
     touchedDays
   }
 
