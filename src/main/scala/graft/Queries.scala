@@ -123,6 +123,13 @@ object Queries {
       oracle = Some(Similarity.bruteForceOracleSql(
         "embeddings", "vec_id", "embedding", 5, 10L))),
 
+    "dedup_embedding" -> QueryDef(
+      run = (s, dir) => Similarity.embeddingNearDup(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", "label", 300000L),
+      oracle = Some(Similarity.embeddingNearDupOracleSql(
+        "embeddings", "vec_id", "embedding", "label", 300000L))),
+
     "mm_features" -> QueryDef(
       run = (s, dir) => Multimodal.extractFeatures(pages(s, dir), "event_id", "html"),
       oracle = Some(Multimodal.oracleSql(

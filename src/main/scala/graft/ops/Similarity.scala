@@ -82,6 +82,51 @@ object Similarity {
        |FROM scored
        |QUALIFY rank <= $k""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs: (a < b) with quantized
+    * cosine ≥ thresholdNanos, blocked by `blockCol` (cluster-scoped
+    * dedup; at open scale the blocking key comes from [[lshBucket]]
+    * instead). The emitted score is quantized to micros: the value is
+    * part of the output contract, and a 1e-6 bin makes the chance of a
+    * cross-engine floor straddle (last-ulp sum differences) negligible.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       blockCol: String, thresholdMicros: Long): DataFrame = {
+    val base = df.select(col(blockCol).as("_blk"), col(idCol),
+                         asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+    val a = base.select(col("_blk"), col(idCol).as("id_a"),
+                        col("v").as("va"), col("n").as("na"))
+    val b = base.select(col("_blk"), col(idCol).as("id_b"),
+                        col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_micros",
+        floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * lit(1e6))
+          .cast("long"))
+      .filter(col("cos_micros") >= thresholdMicros)
+      .select("id_a", "id_b", "cos_micros")
+  }
+
+  def embeddingNearDupOracleSql(table: String, idCol: String, vecCol: String,
+                                blockCol: String,
+                                thresholdMicros: Long): String =
+    s"""WITH base AS (
+       |  SELECT $blockCol AS _blk, $idCol AS id,
+       |         list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM $table
+       |),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         CAST(floor(
+       |           list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+       |           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       |              * sqrt(list_sum(list_transform(b.v, x -> x * x)))) * 1e6)
+       |         AS BIGINT) AS cos_micros
+       |  FROM base a JOIN base b ON a._blk = b._blk AND a.id < b.id
+       |)
+       |SELECT id_a, id_b, cos_micros FROM pairs
+       |WHERE cos_micros >= $thresholdMicros""".stripMargin
+
   /** Random-hyperplane LSH bucket id for one hash table: `planes` sign
     * bits; plane p of table t has ±1 coefficient per dimension d from
     * the parity of md5("t:p:d"). Deterministic, engine-portable.

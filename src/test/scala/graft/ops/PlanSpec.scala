@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSuite
+import graft.core.TierSpec
+import graft.ingest.WebPages
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the scale contract. A query that
+  * passes correctness but scans extra columns, skips broadcast, or
+  * shuffles raw rows would silently die at 100 TB; these pin the plan
+  * properties the design relies on.
+  */
+class PlanSpec extends AnyFunSuite with SparkSuite {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("rollup joins the documents dimension via broadcast, not shuffle") {
+    val p = plan(Rollup.fromRaw(WebPages.load(spark, sfDir), TierSpec.T1h))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("rollup aggregates partially before every exchange (map-side combine)") {
+    val p = plan(Rollup.cascade(
+      Rollup.fromRaw(WebPages.load(spark, sfDir), TierSpec.T5m), TierSpec.T1h))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(800))
+    // two aggregation levels → exactly two shuffles of group rows
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2)
+  }
+
+  test("column pruning: a narrow projection never reads html/text payloads") {
+    val narrow = WebPages.load(spark, sfDir)
+      .select("domain", "warc_epoch")
+    val p = plan(narrow)
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(!readSchemas.exists(_.contains("html")),
+           s"payload not pruned: $readSchemas")
+    assert(!readSchemas.exists(_.contains("text")),
+           s"text not pruned: $readSchemas")
+  }
+
+  test("watermark filter is pushed down to the parquet scan") {
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp"))
+      .select("event_id")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+           p.take(800))
+  }
+
+  test("gap-fill broadcasts the bucket grid, never the series side") {
+    val r = Rollup.fromRaw(WebPages.load(spark, sfDir), TierSpec.T1d).persist()
+    try {
+      val p = plan(GapFill.dense(r, TierSpec.T1d))
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+             p.contains("BroadcastExchange"), p.take(800))
+    } finally r.unpersist()
+  }
+
+  test("whole-stage codegen covers the rollup pipeline") {
+    val df = Rollup.fromRaw(WebPages.load(spark, sfDir), TierSpec.T5m)
+    // AQE inserts codegen stages only in the FINAL plan; collect() runs
+    // THIS DataFrame's QueryExecution (count() would build its own)
+    df.collect()
+    val p = plan(df)
+    // codegen stages print as "WholeStageCodegen (n)" or the compact
+    // "*(n)" operator prefix depending on format
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(500))
+  }
+
+  test("anti-join plans as a real anti join (no subquery re-scan)") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val a = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+    val b = ev.filter(col("event_type") === "error").select("user_id").distinct()
+    val p = plan(a.join(b, Seq("user_id"), "left_anti"))
+    assert(p.contains("LeftAnti"), p.take(500))
+  }
+
+  test("salted rollup phase 1 keys include the salt (skew spread)") {
+    val o = optimized(Rollup.fromRawSalted(
+      WebPages.load(spark, sfDir), TierSpec.T1h, saltBuckets = 8))
+    assert(o.contains("_salt"), o.take(800))
+  }
+}
