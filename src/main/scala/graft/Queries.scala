@@ -57,6 +57,53 @@ object Queries {
     "ts_rollup_1d"  -> tierQuery(TierSpec.T1d),
     "ts_rollup_30d" -> tierQuery(TierSpec.T30d),
 
+    // Downsample: derived per-bucket mean in exact integer micros
+    // (floor(sum/n) — order-insensitive, engine-identical).
+    "ts_downsample_1h" -> QueryDef(
+      run = (s, dir) => Rollup.cascade(
+          Rollup.fromRaw(pages(s, dir), TierSpec.T5m), TierSpec.T1h)
+        .select(col("domain"), col("bucket_epoch"), col("n"),
+          floor(col("sum_value_micros") / col("n")).cast("long")
+            .as("avg_value_micros")),
+      oracle = Some(
+        s"""${WebPages.oracleCte},
+           |r AS (
+           |  SELECT domain,
+           |         warc_epoch - (warc_epoch % 3600) AS bucket_epoch,
+           |         CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS s
+           |  FROM webpages GROUP BY 1, 2
+           |)
+           |SELECT domain, bucket_epoch, n,
+           |       CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS avg_value_micros
+           |FROM r""".stripMargin)),
+
+    // Analytic window: per-series delta vs the previous observed bucket
+    // (lag) at the 1d tier.
+    "ts_delta_1d" -> QueryDef(
+      run = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val r1d = TierSpec.cascade.tail.takeWhile(_.seconds <= 86400L)
+          .foldLeft(Rollup.fromRaw(pages(s, dir), TierSpec.T5m))(
+            (f, t) => Rollup.cascade(f, t))
+        val w = Window.partitionBy("domain").orderBy("bucket_epoch")
+        r1d.select(col("domain"), col("bucket_epoch"),
+          (col("sum_value_micros")
+            - lag(col("sum_value_micros"), 1).over(w)).as("delta_micros"))
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte},
+           |r AS (
+           |  SELECT domain,
+           |         warc_epoch - (warc_epoch % 86400) AS bucket_epoch,
+           |         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS s
+           |  FROM webpages GROUP BY 1, 2
+           |)
+           |SELECT domain, bucket_epoch,
+           |       CAST(s - lag(s) OVER (PARTITION BY domain ORDER BY bucket_epoch) AS BIGINT)
+           |         AS delta_micros
+           |FROM r""".stripMargin)),
+
     "ts_gapfill_1h" -> QueryDef(
       run = (s, dir) => {
         // dense() references its input three times (bounds, series,
