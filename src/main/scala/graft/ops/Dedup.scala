@@ -45,9 +45,20 @@ object Dedup {
   // MinHash + LSH
   // ------------------------------------------------------------------
 
+  /** Small inputs arrive as one scan split (single parquet file); the
+    * expensive map-side work downstream (shingling + 16 seeded md5s
+    * per shingle) would then run in one task. Spread only when the
+    * input has fewer splits than the cluster has slots — a real
+    * 100 TB scan already has thousands of splits and skips this.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
+
   /** Tokenize to the distinct word set. */
   private def wordSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("_id"),
+    spread(df).select(col(idCol).as("_id"),
               explode(array_distinct(split(col(textCol), " "))).as("w"))
 
   /** Distinct k-word shingles (k=1 degenerates to the word set). Short
@@ -61,7 +72,7 @@ object Dedup {
     val shingles = transform(
       sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
       i => concat_ws(" ", slice(w, i, lit(k))))
-    df.select(col(idCol).as("_id"),
+    spread(df).select(col(idCol).as("_id"),
               explode(array_distinct(shingles)).as("w"))
   }
 
@@ -114,9 +125,12 @@ object Dedup {
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4,
                  shingleK: Int = 3): DataFrame = {
+    // persist: both sides of the self-join read the band stream — the
+    // signature computation (shingling + seeded hashing) must not run
+    // twice
     val b = lshBands(
       minHashSignatures(df, idCol, textCol, numHashes, shingleK),
-      numHashes, bands)
+      numHashes, bands).persist()
     val l = b.select(col("_id").as("id_a"), col("band"), col("band_hash"))
     val r = b.select(col("_id").as("id_b"), col("band"), col("band_hash"))
     l.join(r, Seq("band", "band_hash"))
@@ -208,8 +222,9 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, thresholdMilli: Long): DataFrame = {
-    val words = df.select(col(idCol).as("_id"), col(blockCol).as("_blk"),
-        explode(array_distinct(split(col(textCol), " "))).as("w"))
+    // persisted: the token stream feeds sizes and both join sides
+    val words = spread(df).select(col(idCol).as("_id"), col(blockCol).as("_blk"),
+        explode(array_distinct(split(col(textCol), " "))).as("w")).persist()
     val sizes = words.groupBy("_id").agg(count(lit(1)).as("sz"))
     val l = words.select(col("_id").as("id_a"), col("_blk"), col("w"))
     val r = words.select(col("_id").as("id_b"), col("_blk"), col("w"))
