@@ -110,8 +110,12 @@ final class TierRunner(spark: SparkSession, root: String) {
         try {
           val source: DataFrame =
             if (tier == TierSpec.T5m)
+              // text_sha: the byte-identical-text invariant, hashed from
+              // the html payload per raw row and XOR-folded up the
+              // whole cascade (cascade() merges it automatically)
               Rollup.fromRaw(raw.filter(col("day_epoch").isin(dayLit: _*)),
-                             tier)
+                tier, textSha = Some(xxhash64(
+                  graft.ingest.WebPages.extractText(col("html")))))
             else if (tier.seconds <= TierSpec.T1d.seconds)
               Rollup.cascade(finer, tier)
             else {

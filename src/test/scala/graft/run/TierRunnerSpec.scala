@@ -98,6 +98,22 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     assert(m2.entries.forall(e => e._4 == "ok" && e._3 == -1L))
   }
 
+  test("text_sha invariant travels the cascade: tier XOR equals direct XOR") {
+    val root = tmpRoot()
+    val runner = new TierRunner(spark, root)
+    val pages = WebPages.load(spark, sfDir)
+    runner.run("r1", runner.ingest(pages))
+    val direct = {
+      val t5m = Rollup.fromRaw(pages, TierSpec.T5m,
+        textSha = Some(xxhash64(WebPages.extractText(col("html")))))
+      Rollup.cascade(Rollup.cascade(t5m, TierSpec.T1h), TierSpec.T1d)
+        .select("domain", "bucket_epoch", "text_sha")
+    }
+    val fromTiers = runner.tier(TierSpec.T1d)
+      .select("domain", "bucket_epoch", "text_sha")
+    assert(sortedRows(fromTiers) == sortedRows(direct))
+  }
+
   test("manifest records lineage and round-trips through JSON") {
     val root = tmpRoot()
     val runner = new TierRunner(spark, root)
