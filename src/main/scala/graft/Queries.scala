@@ -2,7 +2,7 @@ package graft
 
 import graft.core.TierSpec
 import graft.ingest.WebPages
-import graft.ops.{Dedup, GapFill, Multimodal, Rollup, Similarity, TextStats}
+import graft.ops.{Dedup, GapFill, Multimodal, Rollup, Similarity, Sketches, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,31 @@ object Queries {
     "ts_rollup_1h"  -> tierQuery(TierSpec.T1h),
     "ts_rollup_1d"  -> tierQuery(TierSpec.T1d),
     "ts_rollup_30d" -> tierQuery(TierSpec.T30d),
+
+    // Mergeable HLL sketch tier: distinct urls per (series, 1d bucket),
+    // cascaded by sketch-union from the 1h tier. The gate asserts the
+    // approximation property (±5% of exact) — the sketch itself has no
+    // cross-engine oracle.
+    "ts_distinct_urls_1d" -> QueryDef(
+      run = (s, dir) => {
+        val p = pages(s, dir)
+        val est = Sketches.estimated(
+          Sketches.cascade(Sketches.fromRaw(p, TierSpec.T1h), TierSpec.T1d))
+        val exact = p
+          .groupBy(col("domain"), Rollup.bucket(col("warc_epoch"), TierSpec.T1d))
+          .agg(countDistinct(col("url")).as("exact_distinct"))
+        est.join(exact, Seq("domain", "bucket_epoch"))
+          .select(col("domain"), col("bucket_epoch"), col("n"),
+            (abs(col("distinct_est") - col("exact_distinct"))
+              <= col("exact_distinct") * 0.05 + lit(1)).as("within_5pct"))
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       warc_epoch - (warc_epoch % 86400) AS bucket_epoch,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       TRUE AS within_5pct
+           |FROM webpages GROUP BY 1, 2""".stripMargin)),
 
     // Downsample: derived per-bucket mean in exact integer micros
     // (floor(sum/n) — order-insensitive, engine-identical).

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.core.TierSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch tier columns: approximate distinct counts that
+  * cascade losslessly.
+  *
+  * The reference has no sketches (SURVEY.md §2.7); this extends the
+  * tier design for the quantities a 100 TB rollup cannot keep exactly
+  * (distinct urls per series-bucket). The key property is
+  * *mergeability*: the coarser tier unions the finer tier's HLL
+  * sketches (register-wise max — Apache DataSketches HLL via Spark's
+  * `hll_sketch_agg`/`hll_union_agg`), so
+  * `estimate(union(5m sketches of a day)) == estimate(sketch(whole day))`
+  * EXACTLY — union over disjoint slices reproduces the same registers.
+  * A plain `approx_count_distinct` number would not re-aggregate.
+  */
+object Sketches {
+
+  /** Finest tier with an HLL sketch of distinct `keyCol` per bucket. */
+  def fromRaw(pages: DataFrame, tier: TierSpec, keyCol: String = "url",
+              seriesCols: Seq[String] = Seq("domain")): DataFrame =
+    pages
+      .groupBy(seriesCols.map(col) :+ Rollup.bucket(col("warc_epoch"), tier): _*)
+      .agg(hll_sketch_agg(col(keyCol)).as("key_hll"),
+           count(lit(1)).as("n"))
+
+  /** Coarser tier: register-wise union of the finer tier's sketches. */
+  def cascade(finer: DataFrame, tier: TierSpec,
+              seriesCols: Seq[String] = Seq("domain")): DataFrame =
+    finer
+      .groupBy(seriesCols.map(col) :+ Rollup.bucket(col("bucket_epoch"), tier): _*)
+      .agg(hll_union_agg(col("key_hll")).as("key_hll"),
+           sum(col("n")).as("n"))
+
+  /** Materialize the estimate column. */
+  def estimated(tierDf: DataFrame): DataFrame =
+    tierDf.withColumn("distinct_est", hll_sketch_estimate(col("key_hll")))
+      .drop("key_hll")
+}
