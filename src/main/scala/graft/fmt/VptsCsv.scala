@@ -53,11 +53,15 @@ object VptsCsv {
     date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
 
   /** P2 — int-or-nodata: "0"/"NULL" map to the nodata sentinel, other
-    * strings must parse as int (vpts_csv.py:40-73).
+    * strings must parse as int; unparseable input raises, matching the
+    * reference's bare `int(value)` ValueError (vpts_csv.py:40-74) —
+    * never silently nulled.
     */
   def intToNodata(c: Column, v: VptsCsvVersion = VptsCsvV1): Column =
     when(c.isin("0", "NULL"), lit(v.nodata))
-      .otherwise(c.cast("int").cast("string"))
+      .when(c.rlike("^[+-]?[0-9]+$"), c.cast("int").cast("string"))
+      .otherwise(raise_error(concat(lit("not an integer value: "),
+                                    coalesce(c, lit("null")))))
 
   /** P3 — strict 1/0 → TRUE/FALSE (vpts_csv.py:76-94); other values
     * raise, matching the reference's KeyError.

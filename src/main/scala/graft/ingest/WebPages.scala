@@ -28,12 +28,19 @@ object WebPages {
   private val HtmlPrefix = "<html><body>"   // 12 bytes
   private val HtmlSuffix = "</body></html>" // 14 bytes
 
+  /** Dimension cardinality per directory — computed once, not per call
+    * (load() is invoked by every registered query; an uncached count()
+    * is a driver-side job embedded in each of them). The dim table is
+    * immutable within a run, so the cache never invalidates.
+    */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Load the tier-0 web-pages DataFrame from a testdata sf directory. */
   def load(spark: SparkSession, sfDir: String): DataFrame = {
     val docs   = spark.read.parquet(s"$sfDir/documents.parquet")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-    // Dimension-table cardinality: tiny driver-side count on the dim side.
-    val nDocs = docs.count()
+    val nDocs: Long = docCountCache.computeIfAbsent(sfDir, _ => docs.count())
     events
       .withColumn("doc_id", col("event_id") % nDocs)
       .join(broadcast(docs), Seq("doc_id"))

@@ -29,6 +29,12 @@ class VptsCsvSpec extends AnyFunSuite with SparkSuite {
     assert(rows == Seq("", "", "12", "170"))
   }
 
+  test("intToNodata raises on unparseable input (P2 strict; vpts_csv.py:74)") {
+    intercept[Exception] {
+      Seq("garbage").toDF("v").select(VptsCsv.intToNodata(col("v"))).collect()
+    }
+  }
+
   test("numberToBoolStr strict mapping raises on non-boolean (P3)") {
     val ok = Seq(1, 0).toDF("v")
       .select(VptsCsv.numberToBoolStr(col("v"))).collect().map(_.getString(0))
