@@ -202,6 +202,27 @@ object Queries {
       oracle = Some(Similarity.embeddingNearDupOracleSql(
         "embeddings", "vec_id", "embedding", "label", 300000L))),
 
+    // Scale path of embedding dedup: LSH bucket blocking instead of the
+    // label block — the variant a 100 TB corpus actually runs.
+    "dedup_embedding_lsh" -> QueryDef(
+      run = (s, dir) => Similarity.embeddingNearDupLsh(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", 300000L),
+      oracle = Some(Similarity.embeddingNearDupLshOracleSql(
+        "embeddings", "vec_id", "embedding", 300000L))),
+
+    // Scale path of ANN: multi-table LSH candidate generation + exact
+    // rank within candidates (bruteForceTopK is the exact baseline).
+    "ann_lsh_topk" -> QueryDef(
+      run = (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.lshTopK(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .select("query_id", "neighbor_id", "rank")
+      },
+      oracle = Some(Similarity.lshTopKOracleSql(
+        "embeddings", "vec_id", "embedding", 5, 10L))),
+
     "mm_features" -> QueryDef(
       run = (s, dir) => Multimodal.extractFeatures(pages(s, dir), "event_id", "html"),
       oracle = Some(Multimodal.oracleSql(

@@ -53,7 +53,12 @@ object Dedup {
     */
   private def spread(df: DataFrame): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+    // inputFiles is plan metadata (no RDD materialization, unlike
+    // rdd.getNumPartitions); a derived/non-file plan reports zero files
+    // and is spread too — the repartition is a no-op cost at small
+    // scale and skipped implicitly at real scale (thousands of splits)
+    val files = df.inputFiles.length
+    if (files < slots) df.repartition(slots) else df
   }
 
   /** Tokenize to the distinct word set. */
@@ -117,22 +122,42 @@ object Dedup {
       .select(col("_id"), col("bb.band"), col("bb.band_hash"))
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+
   /** Candidate near-duplicate pairs: ids sharing any LSH band bucket.
     * k-word shingles (default 3) keep band buckets selective — unigram
     * shingles over a small vocabulary collide massively (quadratic pair
     * blowup), which is a corpus property, not an LSH property.
+    *
+    * Skew guard: a band bucket of B members emits B²/2 pairs, and a
+    * boilerplate/empty-page bucket at corpus scale is a quadratic bomb
+    * AQE skew-splitting cannot bound (it splits the *input*, not the
+    * join *output*). Buckets larger than `maxBucket` are dropped from
+    * pairing and the dropped-bucket count is logged — never silently.
+    * Members of a dropped bucket still pair through their other
+    * (selective) bands, and truly identical texts are the exact-dedup
+    * stage's job, not LSH's.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4,
-                 shingleK: Int = 3): DataFrame = {
-    // persist: both sides of the self-join read the band stream — the
-    // signature computation (shingling + seeded hashing) must not run
-    // twice
+                 shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    // persist: the bucket-size pass and both sides of the self-join
+    // read the band stream — the signature computation (shingling +
+    // 16 seeded md5s per shingle) must not run three times. The
+    // harness (Verify/Bench) clears caches between queries.
     val b = lshBands(
       minHashSignatures(df, idCol, textCol, numHashes, shingleK),
       numHashes, bands).persist()
-    val l = b.select(col("_id").as("id_a"), col("band"), col("band_hash"))
-    val r = b.select(col("_id").as("id_b"), col("band"), col("band_hash"))
+    val sizes = b.groupBy("band", "band_hash").agg(count(lit(1)).as("_bsz"))
+    val dropped = sizes.filter(col("_bsz") > maxBucket).count()
+    if (dropped > 0)
+      log.warn(s"minHashLsh: dropped $dropped band bucket(s) larger than " +
+        s"$maxBucket members from pairing (skew cap)")
+    val keep = b.join(sizes.filter(col("_bsz") <= maxBucket),
+                      Seq("band", "band_hash"))
+      .select("_id", "band", "band_hash")
+    val l = keep.select(col("_id").as("id_a"), col("band"), col("band_hash"))
+    val r = keep.select(col("_id").as("id_b"), col("band"), col("band_hash"))
     l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -140,7 +165,8 @@ object Dedup {
 
   def minHashLshOracleSql(fromCte: String, table: String, idCol: String,
                           textCol: String, numHashes: Int = 16,
-                          bands: Int = 4, shingleK: Int = 3): String = {
+                          bands: Int = 4, shingleK: Int = 3,
+                          maxBucket: Int = 1000): String = {
     val r = numHashes / bands
     val minAggs = (0 until numHashes)
       .map(i => s"min(${Portable.hashSeededSql(i, "w")}) AS h$i")
@@ -160,9 +186,15 @@ object Dedup {
        |),
        |bands AS (
        |  $bandSelects
+       |),
+       |keep AS (
+       |  SELECT bands.* FROM bands
+       |  JOIN (SELECT band, band_hash FROM bands
+       |        GROUP BY 1, 2 HAVING count(*) <= $maxBucket) ok
+       |    ON bands.band = ok.band AND bands.band_hash = ok.band_hash
        |)
        |SELECT DISTINCT a._id AS id_a, b._id AS id_b
-       |FROM bands a JOIN bands b
+       |FROM keep a JOIN keep b
        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a._id < b._id""".stripMargin
   }
 
@@ -218,10 +250,18 @@ object Dedup {
 
   /** Exact word-set Jaccard ≥ threshold (milli) pairs within the same
     * `blockCol` (e.g. lang). The small-scale baseline that validates
-    * the MinHash path; quadratic per shared token.
+    * the MinHash path; quadratic per shared token — and therefore
+    * guarded: inputs above `maxInputRows` are refused outright (the
+    * scale path is [[minHashLsh]]), so this oracle can never be
+    * pointed at big data by accident.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   blockCol: String, thresholdMilli: Long): DataFrame = {
+                   blockCol: String, thresholdMilli: Long,
+                   maxInputRows: Long = 1000000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxInputRows,
+      s"ngramJaccard is the quadratic small-scale baseline ($n rows > " +
+        s"$maxInputRows cap); use minHashLsh at scale")
     // persisted: the token stream feeds sizes and both join sides
     val words = spread(df).select(col(idCol).as("_id"), col(blockCol).as("_blk"),
         explode(array_distinct(split(col(textCol), " "))).as("w")).persist()

@@ -129,18 +129,35 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id for one hash table: `planes` sign
     * bits; plane p of table t has ±1 coefficient per dimension d from
-    * the parity of md5("t:p:d"). Deterministic, engine-portable.
+    * the parity of md5("t:p:d"). Deterministic, engine-portable: the
+    * projection is the same sequential zip-fold as [[dot]], so the
+    * DuckDB oracle ([[lshBucketSql]]) reproduces the floating-point sum
+    * — and hence every sign bit — exactly.
     */
   def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column = {
     val signBits = (0 until planes).map { p =>
-      val proj = (0 until dims).map { d =>
-        val sign = if (planeSign(table, p, d)) 1.0 else -1.0
-        element_at(vec, d + 1) * lit(sign)
-      }.reduce(_ + _)
+      val signs = array(planeSigns(table, p, dims).map(lit): _*)
+      val proj = dot(vec, signs)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     signBits.reduce(_ + _)
   }
+
+  /** ±1.0 coefficients of plane (table, p) over `dims` dimensions. */
+  def planeSigns(table: Int, p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(d => if (planeSign(table, p, d)) 1.0 else -1.0)
+
+  /** DuckDB mirror of [[lshBucket]] over a list-typed column expression
+    * `v` — plane coefficients baked as literal lists (they are
+    * deterministic constants of (table, plane, dim)).
+    */
+  def lshBucketSql(v: String, table: Int, planes: Int, dims: Int): String =
+    (0 until planes).map { p =>
+      val signs = planeSigns(table, p, dims)
+        .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip($v, $signs), " +
+        s"p -> p[1] * p[2])) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   /** Deterministic ±1 plane coefficients (shared with tests/oracle). */
   def planeSign(table: Int, p: Int, d: Int): Boolean = {
@@ -148,6 +165,117 @@ object Similarity {
       .digest(s"$table:$p:$d".getBytes("UTF-8"))
     (md(0) & 1) == 1
   }
+
+  /** Embedding near-duplicate pairs with LSH bucket blocking — the
+    * scale path (the label-blocked [[embeddingNearDup]] is the exact
+    * small-scale baseline). Candidates are vectors sharing any hash
+    * table's bucket; emitted pairs carry the *exact* quantized cosine,
+    * so precision is 1 by construction and only recall is approximate
+    * (measured vs the unblocked exact set in the test suite; raise
+    * `tables` for recall, `planes` for selectivity).
+    *
+    * Scale shape (100 TB): the key stream is |corpus|·tables rows of
+    * (id, tbl, bucket); the self-join is bucket-local — never
+    * corpus-quadratic — and expected bucket size is |corpus| / 2^planes
+    * per table, so `planes` is the knob that bounds the per-bucket
+    * quadratic term. Vector payloads join back by id afterwards (two
+    * hash joins), keeping the wide arrays out of the pair explosion.
+    */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                          thresholdMicros: Long, tables: Int = 4,
+                          planes: Int = 6, dims: Int = 64): DataFrame = {
+    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val keys = base
+      .withColumn("kk", explode(lshKeys(col("v"), tables, planes, dims)))
+      .select(col("id"), col("kk.tbl"), col("kk.bucket"))
+    val cand = keys.select(col("id").as("id_a"), col("tbl"), col("bucket"))
+      .join(keys.select(col("id").as("id_b"), col("tbl"), col("bucket")),
+            Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va"),
+                        col("nrm").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+                        col("nrm").as("nb")), "id_b")
+      .withColumn("cos_micros",
+        floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * lit(1e6))
+          .cast("long"))
+      .filter(col("cos_micros") >= thresholdMicros)
+      .select("id_a", "id_b", "cos_micros")
+  }
+
+  /** DuckDB SELECT of the (id, tbl, bucket) key stream over `base(id, v)`. */
+  private def lshKeysSql(tables: Int, planes: Int, dims: Int): String =
+    (0 until tables).map(t =>
+      s"SELECT id, $t AS tbl, ${lshBucketSql("v", t, planes, dims)} AS bucket FROM base")
+      .mkString("\n  UNION ALL ")
+
+  def embeddingNearDupLshOracleSql(table: String, idCol: String,
+                                   vecCol: String, thresholdMicros: Long,
+                                   tables: Int = 4, planes: Int = 6,
+                                   dims: Int = 64): String =
+    s"""WITH base AS (
+       |  SELECT $idCol AS id, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM $table
+       |),
+       |keys AS (
+       |  ${lshKeysSql(tables, planes, dims)}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM keys a JOIN keys b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+       |),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |         CAST(floor(
+       |           list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+       |           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       |              * sqrt(list_sum(list_transform(b.v, x -> x * x)))) * 1e6)
+       |         AS BIGINT) AS cos_micros
+       |  FROM cand JOIN base a ON a.id = cand.id_a
+       |            JOIN base b ON b.id = cand.id_b
+       |)
+       |SELECT id_a, id_b, cos_micros FROM pairs
+       |WHERE cos_micros >= $thresholdMicros""".stripMargin
+
+  /** DuckDB oracle for [[lshTopK]] with `queries = id < maxQueryId`:
+    * identical bucket keys (baked plane constants), identical candidate
+    * union, exact cosine rank within candidates.
+    */
+  def lshTopKOracleSql(table: String, idCol: String, vecCol: String,
+                       k: Int, maxQueryId: Long, planes: Int = 4,
+                       tables: Int = 8, dims: Int = 64): String =
+    s"""WITH base AS (
+       |  SELECT $idCol AS id, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM $table
+       |),
+       |keys AS (
+       |  ${lshKeysSql(tables, planes, dims)}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+       |  FROM keys q JOIN keys c
+       |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |   AND q.id < $maxQueryId AND q.id <> c.id
+       |),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(floor(
+       |           list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+       |           / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+       |              * sqrt(list_sum(list_transform(c.v, x -> x * x)))) * 1e9)
+       |         AS BIGINT) AS score_nanos
+       |  FROM cand JOIN base q ON q.id = cand.query_id
+       |            JOIN base c ON c.id = cand.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY score_nanos DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
 
   /** All (table, bucket) keys of a vector, as an array column —
     * exploded into the blocking-key stream.

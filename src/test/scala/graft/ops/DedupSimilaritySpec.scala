@@ -50,6 +50,55 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     exact.unpersist()
   }
 
+  test("minhash bucket cap: 1k identical docs don't explode into B² pairs") {
+    // 1000 copies of one text: every band bucket they share has 1000
+    // members (>> cap) — without the cap the self-join would emit
+    // ~500k pairs; with it, those buckets are dropped and logged.
+    val one = docs.filter(col("doc_id") === 0)
+      .select(col("text")).head.getString(0)
+    val clones = spark.range(200000, 201000)
+      .select(col("id").as("doc_id"), lit(one).as("text"))
+    // near-dup copies of docs 1..8 — disjoint from the cloned text, so
+    // their bands are never capped
+    val near = docs.filter(col("doc_id").between(1, 8))
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val corpus = docs.select("doc_id", "text")
+      .unionByName(near.select("doc_id", "text")).unionByName(clones)
+    val pairs = Dedup.minHashLsh(corpus, "doc_id", "text", maxBucket = 100)
+      .cache()
+    // no pair between two clones survived (their only buckets are capped)
+    assert(pairs.filter(col("id_a") >= 200000L && col("id_b") >= 200000L)
+      .isEmpty)
+    // normal near-dup pairs are untouched by the cap
+    val exactPairs = near.select((col("doc_id") - 100000L).as("id_a"),
+                                 col("doc_id").as("id_b"))
+    assert(exactPairs.exceptAll(pairs.join(exactPairs,
+      Seq("id_a", "id_b"), "left_semi")).isEmpty)
+    pairs.unpersist()
+  }
+
+  test("jaccard size guard refuses oversized input") {
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(docs, "doc_id", "text", "lang", 0L,
+                         maxInputRows = 10L)
+    }
+  }
+
+  test("LSH embedding near-dup: precision 1 vs exact, recall measured") {
+    // exact unblocked pair set at the same threshold
+    val exact = Similarity.embeddingNearDup(
+      emb.withColumn("one", lit(1)), "vec_id", "embedding", "one", 300000L)
+      .select("id_a", "id_b").cache()
+    val lsh = Similarity.embeddingNearDupLsh(
+      emb, "vec_id", "embedding", 300000L).cache()
+    // precision: every LSH pair is in the exact set (cosine is computed
+    // exactly on candidates; only candidate *generation* is approximate)
+    assert(lsh.select("id_a", "id_b").exceptAll(exact).isEmpty)
+    val recall = lsh.count().toDouble / math.max(exact.count(), 1L)
+    assert(recall > 0.2, f"LSH near-dup recall $recall%.2f too low")
+    exact.unpersist(); lsh.unpersist()
+  }
+
   test("simhash: identical texts get identical fingerprints; hamming correlates") {
     val fp = Dedup.simHash(docs, "doc_id", "text")
     assert(fp.count() == docs.count())
