@@ -37,6 +37,27 @@ object Queries {
     },
     oracle = Some(Rollup.oracleSql(tier)))
 
+  private def flaggedTierQuery(tier: TierSpec): QueryDef = QueryDef(
+    run = (s, dir) => {
+      val finest = Rollup.fromRawFlagged(pages(s, dir), TierSpec.T5m)
+      TierSpec.cascade.takeWhile(_.seconds <= tier.seconds).tail
+        .foldLeft(finest)((finer, t) => Rollup.cascadeFlagged(finer, t))
+        .withColumn("bucket_flag", Rollup.bucketFlag)
+    },
+    oracle = Some(
+      s"""${WebPages.oracleCte},
+         |r AS (
+         |  SELECT domain,
+         |         warc_epoch - (warc_epoch % ${tier.seconds}) AS bucket_epoch,
+         |         ${Rollup.flagOracleMeasures}
+         |  FROM webpages GROUP BY 1, 2
+         |)
+         |SELECT r.*,
+         |       CAST(CASE WHEN n_ok > 0 THEN 0
+         |                 WHEN n_undetect > 0 THEN 2
+         |                 ELSE 1 END AS INT) AS bucket_flag
+         |FROM r""".stripMargin))
+
   def timeseries: Seq[(String, QueryDef)] = Seq(
     // Per-row invariant gate: text is extracted FROM the html binary on
     // the Spark side and must hash-match the raw document text.
@@ -56,6 +77,12 @@ object Queries {
     "ts_rollup_1h"  -> tierQuery(TierSpec.T1h),
     "ts_rollup_1d"  -> tierQuery(TierSpec.T1d),
     "ts_rollup_30d" -> tierQuery(TierSpec.T30d),
+
+    // Three-state missingness through the cascade: per-state counts +
+    // OK-only value measures, merged 5m→1h (and →1d below); the bucket
+    // flag is derived from the counts at any tier.
+    "ts_rollup_flags_1h" -> flaggedTierQuery(TierSpec.T1h),
+    "ts_rollup_flags_1d" -> flaggedTierQuery(TierSpec.T1d),
 
     // Mergeable HLL sketch tier: distinct urls per (series, 1d bucket),
     // cascaded by sketch-union from the 1h tier. The gate asserts the
@@ -479,10 +506,17 @@ object Queries {
         runner.run("inc1", runner.ingest(p.filter(col("warc_ts") < cut)))
         runner.run("inc2", runner.ingest(p.filter(col("warc_ts") >= cut)))
         runner.tier(TierSpec.T1d).select(
-          "domain", "bucket_epoch", "n", "sum_chars", "sum_value_micros",
-          "min_value_micros", "max_value_micros")
+          "domain", "bucket_epoch", "n", "n_ok", "n_nodata", "n_undetect",
+          "sum_chars", "sum_value_micros", "min_value_micros",
+          "max_value_micros")
       },
-      oracle = Some(Rollup.oracleSql(TierSpec.T1d))),
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       warc_epoch - (warc_epoch % ${TierSpec.T1d.seconds}) AS bucket_epoch,
+           |       ${Rollup.flagOracleMeasures}
+           |FROM webpages
+           |GROUP BY 1, 2""".stripMargin)),
 
     // Per-(series, day) Gorilla value blocks stored as binary columns:
     // decoding the stored blocks must reproduce the 5m tier points.
@@ -498,9 +532,12 @@ object Queries {
         s"""${WebPages.oracleCte}
            |SELECT domain,
            |       warc_epoch - (warc_epoch % 300) AS bucket_epoch,
-           |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) AS value
+           |       CAST(sum(CASE WHEN flag = 0
+           |                     THEN CAST(floor(value * 1000000) AS BIGINT)
+           |                END) AS DOUBLE) AS value
            |FROM webpages
-           |GROUP BY 1, 2""".stripMargin)),
+           |GROUP BY 1, 2
+           |HAVING count(CASE WHEN flag = 0 THEN 1 END) > 0""".stripMargin)),
 
     // A5 distinct-set invariant: buckets per series at the 1h tier.
     "distinct_buckets" -> QueryDef(

@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * Column order is normative (vpts_csv.py:261-264: "The order of the
   * variables matter"); all cells are rendered strings; missingness uses
-  * the two v1.0 sentinels (nodata="" for gap-filled null-markers,
-  * undetect="NaN" for observed-but-undetected, synthesized
-  * deterministically as "bucket contains a sample below 5.0" since the
-  * corpus has no natural undetect state); `gap`/`filled` render
+  * the two v1.0 sentinels (nodata="" for gap-filled null-markers and
+  * buckets whose rows are all NODATA; undetect="NaN" for buckets whose
+  * only observations are below the detection threshold), derived from
+  * the flagged cascade's per-state counts; `gap`/`filled` render
   * TRUE/FALSE;
   * `source_file` passes the v1 provenance regex gate.
   */
@@ -32,15 +32,17 @@ object VptsGolden {
   val endEpoch = 1704240000L // 2024-01-03T00:00:00Z
 
   def frame(spark: SparkSession, sfDir: String): DataFrame = {
-    val r1h = Rollup.cascade(
-      Rollup.fromRaw(WebPages.load(spark, sfDir), TierSpec.T5m),
+    val r1h = Rollup.cascadeFlagged(
+      Rollup.fromRawFlagged(WebPages.load(spark, sfDir), TierSpec.T5m),
       TierSpec.T1h).persist()
     val dense = GapFill.forwardFill(GapFill.dense(r1h, TierSpec.T1h))
       .filter(col("bucket_epoch") < endEpoch)
+    // real three-state missingness from the flagged cascade: a grid gap
+    // is NODATA; an observed bucket renders per its state counts
+    // (observed beats below-detection beats not-measured)
     val flag3 =
       when(col("is_gap"), Flag.NODATA)
-        .when(col("min_value_micros") < 5000000L, Flag.UNDETECT)
-        .otherwise(Flag.OK)
+        .otherwise(Rollup.bucketFlag.cast("tinyint"))
     val bucketTs = timestamp_seconds(col("bucket_epoch"))
     val rendered = dense.select(
       col("domain").as("radar"),

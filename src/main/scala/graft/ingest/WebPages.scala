@@ -55,7 +55,14 @@ object WebPages {
         encode(concat(lit(HtmlPrefix), col("text"), lit(HtmlSuffix)), "UTF-8")
           .as("html"),
         col("text"), col("lang"), col("n_chars"), col("value"),
-        col("event_id"), col("doc_id"))
+        col("event_id"), col("doc_id"),
+        // three-state missingness at tier-0 (core.Flag): a fetch error
+        // carries no measurement (NODATA); a measurement below the
+        // detection threshold is observed-but-undetected (UNDETECT).
+        // Deterministic per row, mirrored bit-for-bit in [[oracleCte]].
+        when(col("event_type") === "error", lit(graft.core.Flag.NODATA))
+          .when(col("value") < 5.0, lit(graft.core.Flag.UNDETECT))
+          .otherwise(lit(graft.core.Flag.OK)).cast("int").as("flag"))
       // explicit url-hash bucket: the clustering key for co-located
       // storage/joins at scale (north rule: url-hash bucketing +
       // warc_ts range partitioning; the range dimension is the
@@ -86,7 +93,10 @@ object WebPages {
       |    e.ts AS warc_ts,
       |    CAST(epoch_us(e.ts) // 1000000 AS BIGINT) AS warc_epoch,
       |    d.text AS text, d.lang AS lang, d.n_chars AS n_chars,
-      |    e.value AS value, e.event_id AS event_id, d.doc_id AS doc_id
+      |    e.value AS value, e.event_id AS event_id, d.doc_id AS doc_id,
+      |    CAST(CASE WHEN e.event_type = 'error' THEN 1
+      |              WHEN e.value < 5.0 THEN 2
+      |              ELSE 0 END AS INT) AS flag
       |  FROM events e
       |  JOIN documents d
       |    ON d.doc_id = e.event_id % (SELECT count(*) FROM documents)

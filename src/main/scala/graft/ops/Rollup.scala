@@ -99,6 +99,90 @@ object Rollup {
       .toMap
   }
 
+  // ------------------------------------------------------------------
+  // Three-state missingness through the cascade (SURVEY §7.2)
+  // ------------------------------------------------------------------
+
+  /** Flag-aware measures: per-state counts travel as plain sums (exact
+    * at every tier); value measures aggregate OK rows only — NODATA
+    * carries no measurement and UNDETECT is below detection, so neither
+    * may contaminate sums/extrema (reference semantics: the two missing
+    * sentinels round-trip raw→output untouched by aggregation,
+    * /root/reference/tests/test_vpts.py:109-139). A bucket with zero OK
+    * rows has null value measures, and null-skipping sum/min/max keep
+    * that exact through every merge.
+    */
+  private val flagMeasures: Seq[Column] = {
+    import graft.core.Flag
+    def cnt(f: Byte, name: String) =
+      sum(when(col("flag") === f, 1L).otherwise(0L)).as(name)
+    Seq(
+      count(lit(1)).as("n"),
+      cnt(Flag.OK, "n_ok"), cnt(Flag.NODATA, "n_nodata"),
+      cnt(Flag.UNDETECT, "n_undetect"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum(when(col("flag") === Flag.OK, col("value_micros"))).as("sum_value_micros"),
+      min(when(col("flag") === Flag.OK, col("value_micros"))).as("min_value_micros"),
+      max(when(col("flag") === Flag.OK, col("value_micros"))).as("max_value_micros"))
+  }
+
+  private val flagMerged: Seq[Column] = Seq(
+    sum(col("n")).as("n"),
+    sum(col("n_ok")).as("n_ok"),
+    sum(col("n_nodata")).as("n_nodata"),
+    sum(col("n_undetect")).as("n_undetect"),
+    sum(col("sum_chars")).as("sum_chars"),
+    sum(col("sum_value_micros")).as("sum_value_micros"),
+    min(col("min_value_micros")).as("min_value_micros"),
+    max(col("max_value_micros")).as("max_value_micros"))
+
+  /** Raw pages (with a tier-0 `flag` column) → finest flagged tier. */
+  def fromRawFlagged(pages: DataFrame, tier: TierSpec,
+                     seriesCols: Seq[String] = Seq("domain"),
+                     textSha: Option[Column] = None): DataFrame = {
+    val aggs = flagMeasures ++ textSha.map(c => bit_xor(c).as("text_sha")).toSeq
+    pages
+      .withColumn("value_micros", micros(col("value")))
+      .groupBy(seriesCols.map(col) :+ bucket(col("warc_epoch"), tier): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Finer flagged tier → coarser flagged tier. */
+  def cascadeFlagged(finer: DataFrame, tier: TierSpec,
+                     seriesCols: Seq[String] = Seq("domain")): DataFrame = {
+    val aggs =
+      if (finer.columns.contains("text_sha"))
+        flagMerged :+ bit_xor(col("text_sha")).as("text_sha")
+      else flagMerged
+    finer
+      .groupBy(seriesCols.map(col) :+ bucket(col("bucket_epoch"), tier): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Derived per-bucket flag from the state counts — any tier, no extra
+    * storage: observed (OK) beats below-detection (UNDETECT) beats
+    * not-measured (NODATA).
+    */
+  def bucketFlag: Column = {
+    import graft.core.Flag
+    when(col("n_ok") > 0, lit(Flag.OK.toInt))
+      .when(col("n_undetect") > 0, lit(Flag.UNDETECT.toInt))
+      .otherwise(lit(Flag.NODATA.toInt)).cast("int")
+  }
+
+  /** DuckDB oracle measures matching [[fromRawFlagged]] composed through
+    * any number of [[cascadeFlagged]] steps.
+    */
+  val flagOracleMeasures: String =
+    """CAST(count(*) AS BIGINT) AS n,
+      |CAST(sum(CASE WHEN flag = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+      |CAST(sum(CASE WHEN flag = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodata,
+      |CAST(sum(CASE WHEN flag = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_undetect,
+      |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |CAST(sum(CASE WHEN flag = 0 THEN CAST(floor(value * 1000000) AS BIGINT) END) AS BIGINT) AS sum_value_micros,
+      |CAST(min(CASE WHEN flag = 0 THEN CAST(floor(value * 1000000) AS BIGINT) END) AS BIGINT) AS min_value_micros,
+      |CAST(max(CASE WHEN flag = 0 THEN CAST(floor(value * 1000000) AS BIGINT) END) AS BIGINT) AS max_value_micros""".stripMargin
+
   /** Skew-resistant variant: two-phase aggregation with a salt on the
     * series key. Phase 1 aggregates (series, salt, bucket) — spreading a
     * hot series over `saltBuckets` reducers; phase 2 merges the partials.

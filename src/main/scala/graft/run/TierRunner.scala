@@ -43,22 +43,29 @@ final class TierRunner(spark: SparkSession, root: String) {
 
   /** Append a raw increment (new web pages) as a new raw snapshot,
     * partitioned by day. Returns the set of touched day partitions.
+    *
+    * Replay-safe: the copy-on-write merge anti-joins existing rows of
+    * the touched days against the increment's `dedupKey` (default:
+    * `event_id`, the fetch identity), so the increment *replaces* any
+    * prior rows with the same key — re-running a crashed ingest (raw
+    * snapshot committed, checkpoint not yet written) is a no-op
+    * instead of doubling the touched days' rows.
     */
-  def ingest(pages: DataFrame): Set[String] = {
+  def ingest(pages: DataFrame,
+             dedupKey: Seq[String] = Seq("event_id")): Set[String] = {
     val withDay = pages.withColumn("day_epoch",
       (col("warc_epoch") - (col("warc_epoch") % TierSpec.T1d.seconds)))
-    val prior = rawTable.currentSnapshotId
     // copy-on-write by day: merge the increment with existing rows of
     // the touched days so a day partition is always complete
     val touchedDays = withDay.select("day_epoch").distinct()
       .collect().map(_.getLong(0).toString).toSet
-    val merged = prior match {
-      case None => withDay
-      case Some(_) =>
-        val existing = rawTable.read()
-          .filter(col("day_epoch").isin(touchedDays.map(_.toLong).toSeq: _*))
-        existing.unionByName(withDay)
-    }
+    val existingDays = rawTable.partitionKeys intersect touchedDays
+    val merged =
+      if (existingDays.isEmpty) withDay
+      else rawTable.read(existingDays)
+        .join(withDay.select(dedupKey.map(col): _*).distinct(),
+              dedupKey, "left_anti")
+        .unionByName(withDay)
     // explicit clustering: one task (→ one file) per (day, url-bucket),
     // so downstream same-bucket reads/joins are co-located
     val clustered =
@@ -70,6 +77,9 @@ final class TierRunner(spark: SparkSession, root: String) {
   }
 
   def rawSnapshot: Option[Long] = rawTable.currentSnapshotId
+
+  /** Total rows in the current raw snapshot (manifest metadata, no scan). */
+  def rawRows: Long = rawTable.currentManifest.map(_.totalRows).getOrElse(0L)
 
   /** Run the cascade incrementally for the given touched day
     * partitions; write a checkpoint manifest under `runId`. Resumable:
@@ -86,17 +96,29 @@ final class TierRunner(spark: SparkSession, root: String) {
 
     val inputSnapshot = rawTable.currentSnapshotId.getOrElse(
       throw new IllegalStateException("no raw snapshot ingested"))
-    val raw = rawTable.read()
-    val dayLit = touchedDays.map(_.toLong).toSeq
 
     var entries = Vector.newBuilder[(String, String, Long, String)]
     // (tier, partition, rows, status)
 
-    // ---- 5m from raw (only touched days) ----
+    // Dependency-aware failure isolation: if a tier's commit (or its
+    // snapshot read) fails, every tier downstream of it is recorded as
+    // skipped:upstream_failed rather than silently rebuilt from the
+    // previous (stale) snapshot and marked ok with lineage pointing at
+    // the new input — the checkpoint manifest must never misrepresent
+    // which tiers reflect the current input.
+    val failed = scala.collection.mutable.Set[String]()
+
+    // ---- 5m from raw (only touched days), then the cascade ----
     var finer: DataFrame = null
     for (tier <- TierSpec.cascade) {
       val tbl = tableFor(tier)
       val key = s"${tier.name}"
+      val upstream: Option[String] = tier match {
+        case TierSpec.T5m => None
+        case TierSpec.T1h => Some(TierSpec.T5m.name)
+        case TierSpec.T1d => Some(TierSpec.T1h.name)
+        case _            => Some(TierSpec.T1d.name)
+      }
       val partitions: Set[String] =
         if (tier.seconds <= TierSpec.T1d.seconds) touchedDays
         else {
@@ -107,25 +129,29 @@ final class TierRunner(spark: SparkSession, root: String) {
       val already = partitions.filter(p => previous.get(s"$key/$p").contains("ok"))
       val todo = partitions -- already
       if (todo.nonEmpty) {
-        try {
+        if (upstream.exists(failed.contains)) {
+          failed += key
+          todo.foreach(p => entries += ((key, p, 0L, "skipped:upstream_failed")))
+        } else try {
           val source: DataFrame =
             if (tier == TierSpec.T5m)
-              // text_sha: the byte-identical-text invariant, hashed from
-              // the html payload per raw row and XOR-folded up the
-              // whole cascade (cascade() merges it automatically)
-              Rollup.fromRaw(raw.filter(col("day_epoch").isin(dayLit: _*)),
+              // flagged measures: three-state missingness (OK/NODATA/
+              // UNDETECT counts, OK-only value aggregates) travels the
+              // whole production cascade. text_sha: the byte-identical-
+              // text invariant, hashed from the html payload per raw
+              // row and XOR-folded up every tier.
+              Rollup.fromRawFlagged(rawTable.read(touchedDays),
                 tier, textSha = Some(xxhash64(
                   graft.ingest.WebPages.extractText(col("html")))))
             else if (tier.seconds <= TierSpec.T1d.seconds)
-              Rollup.cascade(finer, tier)
+              Rollup.cascadeFlagged(finer, tier)
             else {
-              // 30d: rebuild whole 30d buckets from the full 1d tier
-              val t1d = tableFor(TierSpec.T1d).read()
-              val bucketLit = todo.map(_.toLong).toSeq
-              Rollup.cascade(
-                t1d.filter(
-                  (col("bucket_epoch") - (col("bucket_epoch") % tier.seconds))
-                    .isin(bucketLit: _*)), tier)
+              // 30d: rebuild whole 30d buckets — read exactly the 1d
+              // day partitions that are members of a touched bucket
+              val memberDays = tableFor(TierSpec.T1d).partitionKeys
+                .filter(d => todo.contains(
+                  (d.toLong - (d.toLong % tier.seconds)).toString))
+              Rollup.cascadeFlagged(tableFor(TierSpec.T1d).read(memberDays), tier)
             }
           val withPart = source.withColumn("day_epoch",
             if (tier.seconds <= TierSpec.T1d.seconds)
@@ -140,14 +166,18 @@ final class TierRunner(spark: SparkSession, root: String) {
           }
         } catch {
           case e: Exception =>
+            failed += key
             todo.foreach(p => entries += ((key, p, 0L, s"error:${e.getClass.getSimpleName}")))
         }
       }
       already.foreach(p => entries += ((key, p, -1L, "ok"))) // resumed
-      finer =
-        if (tier.seconds <= TierSpec.T1d.seconds)
-          tableFor(tier).read().filter(col("day_epoch").isin(dayLit: _*))
-        else finer
+      if (!failed.contains(key) && tier.seconds <= TierSpec.T1d.seconds) {
+        // pruned read of exactly the touched partitions; a missing
+        // snapshot (first-ever run whose commit failed) degrades to a
+        // recorded failure, never an unhandled crash
+        try finer = tbl.read(touchedDays)
+        catch { case _: IllegalStateException => failed += key }
+      }
     }
 
     // ---- Gorilla value blocks: one compressed binary block per
@@ -157,9 +187,13 @@ final class TierRunner(spark: SparkSession, root: String) {
       val todo = touchedDays.filterNot(p =>
         previous.get(s"$key/$p").contains("ok"))
       if (todo.nonEmpty) {
-        try {
-          val t5m = tableFor(TierSpec.T5m).read()
-            .filter(col("day_epoch").isin(dayLit: _*))
+        if (failed.contains(TierSpec.T5m.name)) {
+          todo.foreach(p => entries += ((key, p, 0L, "skipped:upstream_failed")))
+        } else try {
+          // value series has points only where something was measured:
+          // buckets with zero OK rows have null sums and no block point
+          val t5m = tableFor(TierSpec.T5m).read(touchedDays)
+            .filter(col("n_ok") > 0)
           val blocks = t5m.groupBy(col("domain"), col("day_epoch"))
             .agg(graft.codec.GorillaAgg.gorillaEncode(
               col("bucket_epoch"),

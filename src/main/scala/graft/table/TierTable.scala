@@ -13,10 +13,17 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `root/`:
   * {{{
-  *   data/s<k>/part=<p>/…parquet     one dir per (snapshot, partition)
+  *   data/snap=<k>/part=<p>/…parquet one dir per (snapshot, partition)
   *   manifests/manifest-<k>.json     snapshot manifest (see [[Manifest]])
   *   CURRENT                         atomic pointer: current snapshot id
   * }}}
+  *
+  * Both directory levels are Hive-style (`snap=<k>/<col>=<p>`) so a
+  * snapshot read is ONE multi-path parquet scan with partition values
+  * inferred relative to `data/` — the plan stays O(1) nodes no matter
+  * how many partitions the snapshot spans (a per-leaf union would grow
+  * the plan by one branch per partition: 1,000-node plans after three
+  * years of daily partitions).
   *
   * Commits are atomic: data is fully written, the manifest is written,
   * then CURRENT is atomically moved into place — a reader always sees a
@@ -55,6 +62,18 @@ final class TierTable(val root: String, spark: SparkSession) {
     * `df` must contain `partitionCol`; only the listed partitions may
     * be present in it. Unlisted partitions are carried forward from
     * the parent snapshot (copy-on-write).
+    *
+    * Single-pass: the input is persisted, stats (rows + checksum per
+    * partition) are collected from the cache, and the write streams
+    * from the same cache — the commit never re-reads what it just
+    * wrote (at 100 TB a post-write stats scan would double write-path
+    * I/O).
+    *
+    * Empty-partition contract: a key in `lineage` (the requested
+    * recompute set) that produced zero rows is recorded as an explicit
+    * empty partition (rows=0, no data path) and is NOT carried forward
+    * — an empty recompute result deletes the partition's old contents
+    * instead of silently resurrecting them.
     */
   def commitOverwrite(df: DataFrame, partitionCol: String,
                       lineage: Map[String, PartitionLineage] = Map.empty)
@@ -63,30 +82,36 @@ final class TierTable(val root: String, spark: SparkSession) {
     val snap = parent.map(_.snapshot + 1).getOrElse(0L)
     val stamp = System.currentTimeMillis()
 
-    // Write new partition data under this snapshot's directory.
-    val dataDir = rootPath.resolve(s"data/s$snap").toString
-    df.write.partitionBy(partitionCol).mode("overwrite").parquet(dataDir)
+    val dataDir = rootPath.resolve(s"data/snap=$snap").toString
+    val cached = df.persist()
+    val stats =
+      try {
+        // order-insensitive content checksum: XOR-fold of per-row
+        // xxhash64 over name-sorted columns (sum would overflow long
+        // under ANSI arithmetic)
+        val hashCols = cached.columns.sorted.map(c => s"`$c`").mkString(",")
+        val s = cached.groupBy(col(partitionCol).cast("string").as("p"))
+          .agg(count(lit(1)).as("rows"),
+               expr(s"bit_xor(xxhash64($hashCols))").as("checksum"))
+          .collect()
+          .map(r => r.getString(0) ->
+            PartitionEntry(s"data/snap=$snap/$partitionCol=${r.getString(0)}",
+              r.getLong(1), r.getLong(2),
+              lineage.get(r.getString(0))))
+          .toMap
+        cached.write.partitionBy(partitionCol).mode("overwrite").parquet(dataDir)
+        s
+      } finally cached.unpersist()
 
-    // Stats per freshly-written partition (from the written files, so
-    // the manifest describes exactly what a reader will see).
-    val written = spark.read.parquet(dataDir)
-    // order-insensitive content checksum: XOR-fold of per-row xxhash64
-    // (sum would overflow long under ANSI arithmetic)
-    val stats = written.groupBy(col(partitionCol).cast("string").as("p"))
-      .agg(count(lit(1)).as("rows"),
-           expr(s"bit_xor(xxhash64(${written.columns.map(c => s"`$c`").mkString(",")}))")
-             .as("checksum"))
-      .collect()
-      .map(r => r.getString(0) ->
-        PartitionEntry(s"data/s$snap/$partitionCol=${r.getString(0)}",
-          r.getLong(1), r.getLong(2),
-          lineage.get(r.getString(0))))
-      .toMap
+    // Requested partitions that produced no rows: explicit empties.
+    val empties = (lineage.keySet -- stats.keySet).map(k =>
+      k -> PartitionEntry("", 0L, 0L, lineage.get(k))).toMap
 
     // Carry forward untouched partitions from the parent.
-    val carried = parent.map(_.partitions).getOrElse(Map.empty) -- stats.keySet
+    val fresh = stats ++ empties
+    val carried = parent.map(_.partitions).getOrElse(Map.empty) -- fresh.keySet
     val m = Manifest(snap, parent.map(_.snapshot), stamp, partitionCol,
-                     carried ++ stats)
+                     carried ++ fresh)
 
     val tmp = manifests.resolve(s".manifest-$snap.json.tmp")
     Files.writeString(tmp, m.toJson)
@@ -99,28 +124,53 @@ final class TierTable(val root: String, spark: SparkSession) {
     m
   }
 
-  /** Read the current snapshot (union of its partition directories). */
+  /** Read the current snapshot (one multi-path scan of its partition
+    * directories).
+    */
   def read(): DataFrame = {
     val m = currentManifest.getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
-    readManifest(m)
+    readManifest(m, None)
   }
 
-  def readSnapshot(snapshot: Long): DataFrame = readManifest(manifest(snapshot))
+  /** Pruned read: only the requested partitions' directories are
+    * listed and scanned — the plan and the I/O are O(|partitions|),
+    * never O(table). Keys absent from the snapshot (or explicitly
+    * empty) are skipped.
+    */
+  def read(partitions: Set[String]): DataFrame = {
+    val m = currentManifest.getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    readManifest(m, Some(partitions))
+  }
 
-  private def readManifest(m: Manifest): DataFrame = {
-    if (m.partitions.isEmpty)
-      throw new IllegalStateException(s"empty snapshot ${m.snapshot}")
-    // Partition leaves of one snapshot live under different s<k> dirs
-    // (copy-on-write), which defeats directory-based partition
-    // inference — read each leaf and re-attach the partition value
-    // from the manifest (numeric partition keys: epoch-day buckets).
-    m.partitions.toSeq.sortBy(_._1)
-      .map { case (key, p) =>
-        spark.read.parquet(s"$root/${p.path}")
-          .withColumn(m.partitionCol, lit(key.toLong))
-      }
-      .reduce(_ unionByName _)
+  /** Partition keys present (non-empty) in the current snapshot. */
+  def partitionKeys: Set[String] =
+    currentManifest.map(_.partitions.collect {
+      case (k, p) if p.path.nonEmpty => k
+    }.toSet).getOrElse(Set.empty)
+
+  def readSnapshot(snapshot: Long): DataFrame =
+    readManifest(manifest(snapshot), None)
+
+  private def readManifest(m: Manifest, only: Option[Set[String]]): DataFrame = {
+    // Partition leaves of one snapshot live under different snap=<k>
+    // dirs (copy-on-write); both levels are Hive-style, so ONE
+    // multi-path read with basePath=data/ re-infers (snap, partition)
+    // from the directory names — plan size O(1), not one union branch
+    // per partition. Explicit empty partitions have no data path.
+    val selected = m.partitions.toSeq.sortBy(_._1)
+      .filter { case (k, p) =>
+        p.path.nonEmpty && only.forall(_.contains(k)) }
+    if (selected.isEmpty)
+      throw new IllegalStateException(
+        s"no data partitions selected in snapshot ${m.snapshot} at $root" +
+          only.map(o => s" (requested: ${o.toSeq.sorted.mkString(",")})")
+            .getOrElse(""))
+    val paths = selected.map { case (_, p) => s"$root/${p.path}" }
+    spark.read.option("basePath", s"$root/data").parquet(paths: _*)
+      .withColumn(m.partitionCol, col(m.partitionCol).cast("long"))
+      .drop("snap")
   }
 
   /** Partitions whose content changed between two snapshots — the

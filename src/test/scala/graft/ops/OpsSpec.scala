@@ -26,6 +26,42 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("flagged cascade combine semantics: merge equals direct at every tier") {
+    // the pinned contract: state counts sum; value measures are OK-only
+    // and merge null-skipping — so any cascade composition equals the
+    // direct flagged rollup at the same tier
+    var finer = Rollup.fromRawFlagged(pages, TierSpec.T5m)
+    for (tier <- TierSpec.cascade.tail) {
+      finer = Rollup.cascadeFlagged(finer, tier)
+      val direct = Rollup.fromRawFlagged(pages, tier)
+      assert(finer.exceptAll(direct).isEmpty && direct.exceptAll(finer).isEmpty,
+        s"flagged merge != direct at ${tier.name}")
+    }
+  }
+
+  test("flagged measures: NODATA/UNDETECT rows never contaminate value aggregates") {
+    val flagged = Rollup.fromRawFlagged(pages, TierSpec.T1h)
+    val okOnly = Rollup.fromRaw(
+      pages.filter(col("flag") === Flag.OK.toInt), TierSpec.T1h)
+      .select(col("domain"), col("bucket_epoch"),
+        col("sum_value_micros").as("ok_sum"),
+        col("min_value_micros").as("ok_min"),
+        col("max_value_micros").as("ok_max"))
+    val joined = flagged.join(okOnly, Seq("domain", "bucket_epoch"))
+    assert(joined.filter(
+      col("sum_value_micros") =!= col("ok_sum") ||
+      col("min_value_micros") =!= col("ok_min") ||
+      col("max_value_micros") =!= col("ok_max")).isEmpty)
+    // counts are exhaustive and disjoint
+    assert(flagged.filter(
+      col("n") =!= col("n_ok") + col("n_nodata") + col("n_undetect")).isEmpty)
+    // a bucket with zero OK rows has null value measures
+    assert(flagged.filter(col("n_ok") === 0 &&
+      col("sum_value_micros").isNotNull).isEmpty)
+    // and such buckets exist in the corpus (the contract is exercised)
+    assert(flagged.filter(col("n_ok") === 0).count() > 0)
+  }
+
   test("salted rollup equals unsalted rollup") {
     val plain = Rollup.fromRaw(pages, TierSpec.T1h)
     val salted = Rollup.fromRawSalted(pages, TierSpec.T1h, saltBuckets = 7)

@@ -38,10 +38,10 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     assert(m2.okCount > 0)
 
     // Every tier must equal a from-scratch rollup of the full input.
-    val full5m = Rollup.fromRaw(pages, TierSpec.T5m)
-    val full1h = Rollup.cascade(full5m, TierSpec.T1h)
-    val full1d = Rollup.cascade(full1h, TierSpec.T1d)
-    val full30d = Rollup.cascade(full1d, TierSpec.T30d)
+    val full5m = Rollup.fromRawFlagged(pages, TierSpec.T5m)
+    val full1h = Rollup.cascadeFlagged(full5m, TierSpec.T1h)
+    val full1d = Rollup.cascadeFlagged(full1h, TierSpec.T1d)
+    val full30d = Rollup.cascadeFlagged(full1d, TierSpec.T30d)
     val cols = Seq("domain", "bucket_epoch", "n", "sum_chars",
                    "sum_value_micros", "min_value_micros", "max_value_micros")
       .map(col)
@@ -75,8 +75,8 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     assert(touched == Set((1704412800L).toString)) // 2024-01-05 epoch day
     runner.run("r2", touched)
 
-    val full1d = Rollup.cascade(
-      Rollup.cascade(Rollup.fromRaw(pages, TierSpec.T5m), TierSpec.T1h),
+    val full1d = Rollup.cascadeFlagged(
+      Rollup.cascadeFlagged(Rollup.fromRawFlagged(pages, TierSpec.T5m), TierSpec.T1h),
       TierSpec.T1d)
     val cols = Seq("domain", "bucket_epoch", "n", "sum_chars",
                    "sum_value_micros", "min_value_micros", "max_value_micros")
@@ -104,14 +104,92 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     val pages = WebPages.load(spark, sfDir)
     runner.run("r1", runner.ingest(pages))
     val direct = {
-      val t5m = Rollup.fromRaw(pages, TierSpec.T5m,
+      val t5m = Rollup.fromRawFlagged(pages, TierSpec.T5m,
         textSha = Some(xxhash64(WebPages.extractText(col("html")))))
-      Rollup.cascade(Rollup.cascade(t5m, TierSpec.T1h), TierSpec.T1d)
+      Rollup.cascadeFlagged(Rollup.cascadeFlagged(t5m, TierSpec.T1h), TierSpec.T1d)
         .select("domain", "bucket_epoch", "text_sha")
     }
     val fromTiers = runner.tier(TierSpec.T1d)
       .select("domain", "bucket_epoch", "text_sha")
     assert(sortedRows(fromTiers) == sortedRows(direct))
+  }
+
+  test("snapshot read is ONE scan node; pruned read lists only requested partitions") {
+    val root = tmpRoot()
+    val runner = new TierRunner(spark, root)
+    val pages = WebPages.load(spark, sfDir)
+    // two snapshots so partitions live under different snap=<k> dirs
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    runner.run("r1", runner.ingest(pages.filter(col("warc_ts") < cut)))
+    runner.run("r2", runner.ingest(pages.filter(col("warc_ts") >= cut)))
+    val tbl = new graft.table.TierTable(s"$root/tier_1d", spark)
+    assert(tbl.partitionKeys.size > 10)
+
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    // full read: one multi-path scan, NOT one union branch per partition
+    assert(scanCount(tbl.read()) == 1)
+    // pruned read: a single partition requested → a single partition read
+    val one = tbl.partitionKeys.toSeq.sorted.head
+    val pruned = tbl.read(Set(one))
+    assert(scanCount(pruned) == 1)
+    assert(pruned.select("day_epoch").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(one.toLong))
+  }
+
+  test("empty recompute result deletes the partition's old contents") {
+    val root = tmpRoot()
+    val tbl = new graft.table.TierTable(s"$root/t", spark).init()
+    import spark.implicits._
+    val two = Seq((1L, "a"), (2L, "b")).toDF("day_epoch", "v")
+    tbl.commitOverwrite(two, "day_epoch",
+      Map("1" -> graft.table.PartitionLineage(0, "ok"),
+          "2" -> graft.table.PartitionLineage(0, "ok")))
+    // recompute of day 2 produces zero rows: must NOT carry day 2 forward
+    val onlyOne = Seq((1L, "a2")).toDF("day_epoch", "v")
+    val m = tbl.commitOverwrite(onlyOne, "day_epoch",
+      Map("1" -> graft.table.PartitionLineage(1, "ok"),
+          "2" -> graft.table.PartitionLineage(1, "ok")))
+    assert(m.partitions("2").rows == 0 && m.partitions("2").path.isEmpty)
+    assert(tbl.read().select("v").collect().map(_.getString(0)).toSeq
+      == Seq("a2"))
+  }
+
+  test("ingest replay is idempotent (crash between commit and checkpoint)") {
+    val root = tmpRoot()
+    val runner = new TierRunner(spark, root)
+    val pages = WebPages.load(spark, sfDir)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    runner.run("r0", runner.ingest(pages.filter(col("warc_ts") < cut)))
+    val inc = pages.filter(col("warc_ts") >= cut)
+    val d1 = runner.ingest(inc)
+    val rows1 = runner.rawRows
+    runner.ingest(inc) // replay of the identical increment
+    assert(runner.rawRows == rows1,
+      "replayed increment must not duplicate raw rows")
+    runner.run("r1", d1)
+    val full1d = Rollup.cascadeFlagged(
+      Rollup.cascadeFlagged(Rollup.fromRawFlagged(pages, TierSpec.T5m), TierSpec.T1h),
+      TierSpec.T1d)
+    val cols = Seq("domain", "bucket_epoch", "n", "sum_value_micros").map(col)
+    assert(sortedRows(runner.tier(TierSpec.T1d).select(cols: _*)) ==
+           sortedRows(full1d.select(cols: _*)))
+  }
+
+  test("tier-commit failure skips downstream tiers, never rebuilds from stale data") {
+    val root = tmpRoot()
+    val runner = new TierRunner(spark, root)
+    val pages = WebPages.load(spark, sfDir)
+    // drop a column the 5m rollup needs: the 5m commit fails at analysis
+    val m = runner.run("r1", runner.ingest(pages.drop("value")))
+    val byTier = m.entries.groupBy(_._1).view.mapValues(_.map(_._4).toSet)
+    assert(byTier("5m").forall(_.startsWith("error:")), byTier.toMap.toString)
+    for (t <- Seq("1h", "1d", "30d", "blocks"))
+      assert(byTier(t) == Set("skipped:upstream_failed"),
+        s"$t: ${byTier(t)}")
+    // the checkpoint manifest was still written (no unhandled crash)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/checkpoints/run-r1.json")))
   }
 
   test("manifest records lineage and round-trips through JSON") {
