@@ -539,6 +539,37 @@ object Queries {
            |GROUP BY 1, 2
            |HAVING count(CASE WHEN flag = 0 THEN 1 END) > 0""".stripMargin)),
 
+    // G1 parallel-arrays explode (vpts.py:108-136): per-profile arrays
+    // (25-level ladder) + broadcast scalars → long form via ONE
+    // arrays_zip+posexplode generator. The arrays are built
+    // deterministically per event; the oracle computes the expected
+    // long form directly.
+    "profile_explode" -> QueryDef(
+      run = (s, dir) => {
+        import graft.fmt.VptsCsv
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val lvl = sequence(lit(0), lit(24))
+        val withArrays = ev.select(
+          col("event_id"),
+          VptsCsv.iso8601(col("ts")).as("dt_iso"),
+          transform(lvl, i => i * 200).as("height"),
+          transform(lvl, i =>
+            Rollup.micros(col("value")) + i.cast("long") * 7L).as("u_micros"),
+          transform(lvl, i => col("user_id") + i).as("v_cnt"))
+        graft.ops.ProfileExplode.explodeParallel(
+          withArrays, Seq("height", "u_micros", "v_cnt"),
+          Seq("event_id", "dt_iso"))
+      },
+      oracle = Some(
+        """SELECT event_id,
+          |       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS dt_iso,
+          |       CAST(g.idx AS INT) AS level_idx,
+          |       CAST(g.idx * 200 AS INT) AS height,
+          |       CAST(floor(value * 1000000) AS BIGINT) + g.idx * 7 AS u_micros,
+          |       user_id + g.idx AS v_cnt
+          |FROM events
+          |CROSS JOIN (SELECT unnest(generate_series(0, 24)) AS idx) g""".stripMargin)),
+
     // A5 distinct-set invariant: buckets per series at the 1h tier.
     "distinct_buckets" -> QueryDef(
       run = (s, dir) => Rollup

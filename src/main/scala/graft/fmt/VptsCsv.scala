@@ -112,4 +112,18 @@ object VptsCsv {
       .option("emptyValue", "")
       .option("nullValue", "")
       .csv(path)
+
+  /** K2 — gzipped (monthly-rollup-style) CSV sink, the distributed
+    * analog of the reference's `.csv.gz` concatenated monthly files
+    * (bin/vph5_to_vpts.py:241-245; s3.py:122-153 naming): same render
+    * ruleset, gzip codec, one file per partition of `df` (coalesce
+    * upstream for the single-file case).
+    */
+  def writeGzip(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("emptyValue", "")
+      .option("nullValue", "")
+      .option("compression", "gzip")
+      .csv(path)
 }

@@ -116,6 +116,28 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       col("ffill_value") =!= col("sum_value_micros")).isEmpty)
   }
 
+  test("profile explode: parallel arrays flatten by index, scalars replicate, ragged pads null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(10, 20, 30), Seq("a", "b", "c")),
+      (2L, Seq(40), Seq("d"))).toDF("id", "xs", "ys")
+    val out = ProfileExplode.explodeParallel(df, Seq("xs", "ys"), Seq("id"))
+    assert(out.columns.toSeq == Seq("id", "level_idx", "xs", "ys"))
+    val rows = out.orderBy("id", "level_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.get(2), r.get(3)))
+    assert(rows.toSeq == Seq((1L, 0, 10, "a"), (1L, 1, 20, "b"),
+      (1L, 2, 30, "c"), (2L, 0, 40, "d")))
+    // ragged arrays pad with null instead of dropping levels
+    val ragged = Seq((1L, Seq(1, 2), Seq("a"))).toDF("id", "xs", "ys")
+    val r2 = ProfileExplode.explodeParallel(ragged, Seq("xs", "ys"), Seq("id"))
+      .orderBy("level_idx").collect()
+    assert(r2.length == 2 && r2(1).isNullAt(3))
+    // plan: one generator, no exchange (map-side row multiplier)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan.take(400))
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
   test("web-pages per-row invariant: text extracted from html is byte-identical") {
     assert(pages.filter(
       WebPages.extractText(col("html")) =!= col("text")).isEmpty)
