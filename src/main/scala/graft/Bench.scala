@@ -62,9 +62,10 @@ object Bench {
     */
   val benchQueries: Seq[String] = Seq(
     "wp_base", "ts_rollup_5m", "ts_rollup_1h", "ts_rollup_1d",
-    "ts_rollup_30d", "ts_gapfill_1h", "ts_ffill_1h", "gorilla_roundtrip",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "text_stats",
-    "ann_topk", "mm_features")
+    "ts_rollup_30d", "ts_rollup_flags_1h", "ts_gapfill_1h", "ts_ffill_1h",
+    "gorilla_roundtrip", "profile_explode", "dedup_exact", "dedup_minhash",
+    "dedup_simhash", "dedup_embedding_lsh", "text_stats",
+    "ann_topk", "ann_lsh_topk", "mm_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,6 +97,8 @@ object Bench {
     val pages = replicatedPages(spark, sfDir, rep)
     val (points, cascadeSec) = Seq.fill(2) {
       spark.catalog.clearCache()
+      System.gc() // reset heap state so a prior sample's garbage can't
+                  // charge a ParallelGC full collection to this one
       cascadeRun(pages)
     }.minBy(_._2)
     val pps = points / cascadeSec
@@ -104,8 +107,10 @@ object Bench {
     val results = benchQueries.filter(qmap.contains).map { name =>
       val samples = Seq.fill(2) {
         // queries may persist() subtrees — clear between runs so one
-        // query's leftover cache can't distort the next measurement
+        // query's leftover cache can't distort the next measurement,
+        // and collect the previous query's garbage outside the timer
         spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         try { qmap(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }

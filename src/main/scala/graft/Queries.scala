@@ -256,6 +256,26 @@ object Queries {
         WebPages.oracleCte, "webpages", "event_id",
         "concat('<html><body>', text, '</body></html>')"))),
 
+    // REAL multimodal decode: BMP header fields parsed from raw
+    // little-endian bytes (no media library). Payloads are synthesized
+    // engine-side from known dimensions; the oracle computes what the
+    // byte-level parse must yield.
+    "mm_decode_bmp" -> QueryDef(
+      run = (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val payload = Multimodal.syntheticBmp(
+          (col("doc_id") % 1024L) + lit(1L),
+          (col("n_chars") % 512L) + lit(1L))
+        docs.select(col("doc_id"), Multimodal.decodeBmp(payload).as("h"))
+          .select(col("doc_id"), col("h.width"), col("h.height"), col("h.bpp"))
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |       CAST(doc_id % 1024 + 1 AS BIGINT) AS width,
+          |       CAST(n_chars % 512 + 1 AS BIGINT) AS height,
+          |       CAST(24 AS BIGINT) AS bpp
+          |FROM documents""".stripMargin)),
+
     "text_extract_invariant" -> QueryDef(
       // Byte-identical text per url: compare text re-extracted from the
       // html binary against the raw document text. Oracle asserts all-true.
@@ -372,6 +392,39 @@ object Queries {
            |       warc_epoch - (warc_epoch % 86400) AS day_epoch,
            |       CAST(count(*) AS BIGINT) AS n_files
            |FROM webpages GROUP BY 1, 2""".stripMargin)),
+
+    // S6/S7: chunked CSV scan + typed re-read. The rendered events
+    // stream is sunk to a multi-part CSV (the "chunks"), scanned back
+    // all-string with no NaN/null inference, re-typed, and must equal
+    // the direct typed projection (s3.py:327-343 chunked inventory
+    // scan; vph5_to_vpts.py:230-240 string-preserving re-read).
+    "csv_scan_roundtrip" -> QueryDef(
+      run = (s, dir) => {
+        import graft.fmt.VptsCsv
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-csvscan").toString + "/chunks"
+        val cols = Seq("event_id", "dt_iso", "event_type", "value_micros")
+        val rendered = s.read.parquet(s"$dir/events.parquet").select(
+          col("event_id").cast("string").as("event_id"),
+          VptsCsv.iso8601(col("ts")).as("dt_iso"),
+          col("event_type"),
+          Rollup.micros(col("value")).cast("string").as("value_micros"))
+        rendered.repartition(4).write.mode("overwrite")
+          .option("header", "true").option("emptyValue", "")
+          .option("nullValue", "").csv(out)
+        val schema = StructType(cols.map(StructField(_, StringType)))
+        s.read.option("header", "true").schema(schema).csv(out)
+          .select(col("event_id").cast("long").as("event_id"),
+                  col("dt_iso"), col("event_type"),
+                  col("value_micros").cast("long").as("value_micros"))
+      },
+      oracle = Some(
+        """SELECT event_id,
+          |       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS dt_iso,
+          |       event_type,
+          |       CAST(floor(value * 1000000) AS BIGINT) AS value_micros
+          |FROM events""".stripMargin)),
 
     // F1 format gate with quarantine side-channel (odimh5.py:141-151:
     // reject non-VP products; here: bad-record channel instead of abort).

@@ -41,14 +41,13 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val n = args.lift(0).map(_.toInt).getOrElse(8)
+    // args: [nList] [sfDir] [replicate] [iters] — nList like "2,4"
+    // runs the pairs (2→8) and (4→16); each pair is N vs 4N cores.
+    val ns = args.lift(0).getOrElse("2,4").split(",").map(_.trim.toInt).toSeq
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(2).map(_.toInt).getOrElse(20)
     val iters = args.lift(3).map(_.toInt).getOrElse(3)
 
-    // Two alternating passes per level (N, 4N, N, 4N), best-of across
-    // both passes of a level: both levels run with equally-warm JIT —
-    // a single N-then-4N order systematically flatters the later level.
     def phase(cores: Int): (Long, Double) = {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -65,17 +64,43 @@ object ScalingBench {
       SparkSession.clearDefaultSession()
       r
     }
-    val (points, tN1) = phase(n)
-    val (_, t4N1) = phase(4 * n)
-    val (_, tN2) = phase(n)
-    val (_, t4N2) = phase(4 * n)
-    val tN = math.min(tN1, tN2)
-    val t4N = math.min(t4N1, t4N2)
 
-    val ppsN = points / tN
-    val pps4N = points / t4N
-    val eff = (tN / t4N) / 4.0
+    // Two alternating passes over every level (L1..Lk, L1..Lk),
+    // best-of per level: all levels run with equally-warm JIT — a
+    // single ascending order systematically flatters later levels.
+    val levels = ns.flatMap(n => Seq(n, 4 * n)).distinct.sorted
+    val pass1 = levels.map(l => l -> phase(l)).toMap
+    val pass2 = levels.map(l => l -> phase(l)).toMap
+    val best = levels.map(l =>
+      l -> (if (pass1(l)._2 <= pass2(l)._2) pass1(l) else pass2(l))).toMap
+    val points = best(levels.head)._1
+
+    // SMT annotation: local[k] above the physical-core count shares
+    // hyperthreads — those levels measure SMT contention, not the
+    // engine's scaling. availableProcessors counts hardware threads;
+    // this box is 2-way SMT.
+    val hwThreads = Runtime.getRuntime.availableProcessors()
+    val physCores = hwThreads / 2
+
+    val pairsJson = ns.map { n =>
+      val (tN, t4N) = (best(n)._2, best(4 * n)._2)
+      val eff = (tN / t4N) / 4.0
+      val physical = 4 * n <= physCores
+      f"""{"n_cores":$n,"cores_4n":${4 * n},"sec_n":$tN%.3f,"sec_4n":$t4N%.3f,""" +
+        f""""points_per_sec_n":${points / tN}%.1f,"points_per_sec_4n":${points / t4N}%.1f,""" +
+        f""""efficiency":$eff%.3f,"within_physical_cores":$physical}"""
+    }.mkString("[", ",", "]")
+    val headline = {
+      // the authoritative number: the largest pair fully inside the
+      // physical cores (above it, SMT caps speedup at ~1.4-1.5x)
+      val phys = ns.filter(n => 4 * n <= physCores)
+      val n = (if (phys.nonEmpty) phys else ns).max
+      (best(n)._2 / best(4 * n)._2) / 4.0
+    }
     println(
-      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","n_cores":$n,"cores_4n":${4 * n},"points":$points,"sec_n":$tN%.3f,"sec_4n":$t4N%.3f,"points_per_sec_n":$ppsN%.1f,"points_per_sec_4n":$pps4N%.1f,"sf":"$sfDir","replicate":$rep}""")
+      f"""{"metric":"scaling_efficiency","value":$headline%.3f,"unit":"ratio",""" +
+      f""""points":$points,"physical_cores":$physCores,"hw_threads":$hwThreads,""" +
+      f""""pairs":$pairsJson,"sf":"$sfDir","replicate":$rep,""" +
+      """"note":"pairs with within_physical_cores=false run into 2-way SMT thread sharing; the headline value is the largest fully-physical pair"}""")
   }
 }

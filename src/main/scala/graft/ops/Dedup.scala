@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * fingerprint (map-side combine, no row data shuffled beyond the
   * digest). MinHash/LSH shuffles only (id, band-hash) pairs — bands act
   * as the blocking key so the self-join is per-bucket, never quadratic
-  * in the corpus; skewed buckets (boilerplate pages) are capped by AQE
-  * skew-join splitting. The exact Jaccard join is quadratic per shared
-  * token and exists as the correctness baseline, not the scale path.
+  * in the corpus; skewed buckets (boilerplate pages) are explicitly
+  * capped at `maxBucket` members and logged (AQE skew-splitting bounds
+  * join *inputs*, not the B² pair *output*). The exact Jaccard join is
+  * quadratic per shared token and exists as the correctness baseline,
+  * not the scale path — and refuses oversized inputs outright.
   */
 object Dedup {
 

@@ -9,18 +9,73 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, and run decode /
   * feature-extraction as batched per-partition transforms.
   *
-  * The actual media decode is STUBBED (this container has no image or
-  * audio libraries): [[stubDecode]] derives deterministic pseudo-
-  * metadata from the payload digest. Everything around the stub — the
-  * binary schema, the batch shape, the feature struct, partitioning —
-  * is real and tested; swapping [[stubDecode]] for a real decoder does
-  * not change the plan.
+  * Two decode tiers:
+  *  - [[decodeBmp]] — a REAL container-format decoder: BMP
+  *    (BITMAPINFOHEADER) width/height/bpp parsed from raw little-endian
+  *    header bytes with Spark built-ins only (hex/substring/conv) — no
+  *    media library required, fully codegen'd, oracle-gated.
+  *  - [[stubDecode]] — the deep pixel/sample decode is STUBBED (this
+  *    container has no image or audio libraries): deterministic pseudo-
+  *    metadata from the payload digest. Everything around the stub —
+  *    the binary schema, the batch shape, the feature struct,
+  *    partitioning — is real and tested; swapping it for a real pixel
+  *    decoder does not change the plan.
   *
   * Scale notes: feature extraction is a narrow projection over the
   * binary column; at 100 TB it runs at scan speed with the payload
   * column pruned everywhere it is not needed.
   */
 object Multimodal {
+
+  /** Little-endian unsigned int read from a binary column: `nBytes`
+    * starting at 1-based `off`. hex() of each byte, reassembled
+    * most-significant-first, parsed base-16 — pure built-ins, codegen'd.
+    */
+  def leUint(bin: Column, off: Int, nBytes: Int): Column =
+    conv(concat((nBytes - 1 to 0 by -1).map(i =>
+      hex(substring(bin, off + i, 1))): _*), 16, 10).cast("long")
+
+  /** Hex string of a long as `nBytes` little-endian bytes (builder side
+    * of [[leUint]]; used to synthesize test payloads engine-side).
+    */
+  def leHex(v: Column, nBytes: Int): Column = {
+    val be = lpad(hex(v), nBytes * 2, "0")
+    concat((nBytes - 1 to 0 by -1).map(i => substring(be, i * 2 + 1, 2)): _*)
+  }
+
+  /** Synthesize a minimal BMP (BITMAPINFOHEADER) header as a binary
+    * column — 'BM' magic, width/height/bpp in their real byte offsets.
+    */
+  def syntheticBmp(width: Column, height: Column,
+                   bpp: Column = lit(24L)): Column =
+    unhex(concat(
+      lit("424D"),            // 'BM'
+      leHex(lit(70L), 4),     // file size (toy)
+      lit("00000000"),        // reserved
+      leHex(lit(54L), 4),     // pixel-data offset
+      leHex(lit(40L), 4),     // DIB header size
+      leHex(width, 4),        // biWidth  (LE, offset 19 1-based)
+      leHex(height, 4),       // biHeight (LE, offset 23)
+      leHex(lit(1L), 2),      // planes
+      leHex(bpp, 2)))         // bits per pixel (offset 29)
+
+  /** Parsed BMP header fields. */
+  val bmpSchema: StructType = StructType(Seq(
+    StructField("width", LongType), StructField("height", LongType),
+    StructField("bpp", LongType)))
+
+  /** REAL decode: BMP header fields from raw bytes. Non-BMP payloads
+    * (wrong magic or truncated header) decode to null — the quarantine
+    * channel decides their fate, the decoder never throws.
+    */
+  def decodeBmp(payload: Column): Column =
+    when(hex(substring(payload, 1, 2)) === "424D" &&
+         length(payload) >= 30,
+      struct(
+        leUint(payload, 19, 4).as("width"),
+        leUint(payload, 23, 4).as("height"),
+        leUint(payload, 29, 2).as("bpp")))
+      .otherwise(lit(null).cast(bmpSchema))
 
   /** Typed metadata extracted per payload. */
   val featureSchema: StructType = StructType(Seq(

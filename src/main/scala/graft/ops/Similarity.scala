@@ -5,15 +5,18 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over an embedding column (`array<float>`).
+/** Similarity search + embedding near-dup over an embedding column
+  * (`array<float>`).
   *
-  * Two paths:
-  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small)
-  *    query set against the corpus; one pass, no corpus shuffle. The
-  *    correctness baseline.
-  *  - [[lshTopK]] — the scale path: random-hyperplane LSH buckets the
-  *    corpus (deterministic md5-derived planes), then ranks only within
-  *    matching buckets; corpus-size-linear with bucket-local ranking.
+  * Each operation ships as an exact baseline and an LSH scale path,
+  * BOTH oracle-gated:
+  *  - ANN: [[bruteForceTopK]] (broadcast query set × corpus, one pass,
+  *    no corpus shuffle) vs [[lshTopK]] (random-hyperplane LSH buckets
+  *    from deterministic md5-derived planes; exact rank within
+  *    candidates — corpus-size-linear).
+  *  - near-dup pairs: [[embeddingNearDup]] (blocked all-pairs) vs
+  *    [[embeddingNearDupLsh]] (bucket-local pairs, `planes` bounds the
+  *    per-bucket quadratic term).
   *
   * Dot products run in double via `zip_with` + `aggregate` (sequential
   * left-to-right fold — reproducible). Ranking keys are quantized to
@@ -83,9 +86,10 @@ object Similarity {
        |QUALIFY rank <= $k""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs: (a < b) with quantized
-    * cosine ≥ thresholdNanos, blocked by `blockCol` (cluster-scoped
-    * dedup; at open scale the blocking key comes from [[lshBucket]]
-    * instead). The emitted score is quantized to micros: the value is
+    * cosine ≥ thresholdNanos, blocked by `blockCol` — the exact
+    * small-scale baseline; the open-scale path is
+    * [[embeddingNearDupLsh]], which blocks by LSH bucket instead.
+    * The emitted score is quantized to micros: the value is
     * part of the output contract, and a 1e-6 bin makes the chance of a
     * cross-engine floor straddle (last-ulp sum differences) negligible.
     */

@@ -97,8 +97,7 @@ final class TierRunner(spark: SparkSession, root: String) {
     val inputSnapshot = rawTable.currentSnapshotId.getOrElse(
       throw new IllegalStateException("no raw snapshot ingested"))
 
-    var entries = Vector.newBuilder[(String, String, Long, String)]
-    // (tier, partition, rows, status)
+    var entries = Vector.newBuilder[RunEntry]
 
     // Dependency-aware failure isolation: if a tier's commit (or its
     // snapshot read) fails, every tier downstream of it is recorded as
@@ -128,10 +127,12 @@ final class TierRunner(spark: SparkSession, root: String) {
         }
       val already = partitions.filter(p => previous.get(s"$key/$p").contains("ok"))
       val todo = partitions -- already
+      val t0 = System.nanoTime()
+      def elapsedMs: Long = (System.nanoTime() - t0) / 1000000L
       if (todo.nonEmpty) {
         if (upstream.exists(failed.contains)) {
           failed += key
-          todo.foreach(p => entries += ((key, p, 0L, "skipped:upstream_failed")))
+          todo.foreach(p => entries += RunEntry(key, p, 0L, "skipped:upstream_failed", 0L))
         } else try {
           val source: DataFrame =
             if (tier == TierSpec.T5m)
@@ -160,17 +161,19 @@ final class TierRunner(spark: SparkSession, root: String) {
           val lineage = todo.map(p =>
             p -> PartitionLineage(inputSnapshot, "ok")).toMap
           val m = tbl.commitOverwrite(withPart, "day_epoch", lineage)
+          val ms = elapsedMs
           todo.foreach { p =>
             val rows = m.partitions.get(p).map(_.rows).getOrElse(0L)
-            entries += ((key, p, rows, "ok"))
+            entries += RunEntry(key, p, rows, "ok", ms)
           }
         } catch {
           case e: Exception =>
             failed += key
-            todo.foreach(p => entries += ((key, p, 0L, s"error:${e.getClass.getSimpleName}")))
+            todo.foreach(p => entries += RunEntry(key, p, 0L,
+              s"error:${e.getClass.getSimpleName}", elapsedMs))
         }
       }
-      already.foreach(p => entries += ((key, p, -1L, "ok"))) // resumed
+      already.foreach(p => entries += RunEntry(key, p, -1L, "ok", 0L)) // resumed
       if (!failed.contains(key) && tier.seconds <= TierSpec.T1d.seconds) {
         // pruned read of exactly the touched partitions; a missing
         // snapshot (first-ever run whose commit failed) degrades to a
@@ -186,9 +189,11 @@ final class TierRunner(spark: SparkSession, root: String) {
       val key = "blocks"
       val todo = touchedDays.filterNot(p =>
         previous.get(s"$key/$p").contains("ok"))
+      val t0 = System.nanoTime()
+      def elapsedMs: Long = (System.nanoTime() - t0) / 1000000L
       if (todo.nonEmpty) {
         if (failed.contains(TierSpec.T5m.name)) {
-          todo.foreach(p => entries += ((key, p, 0L, "skipped:upstream_failed")))
+          todo.foreach(p => entries += RunEntry(key, p, 0L, "skipped:upstream_failed", 0L))
         } else try {
           // value series has points only where something was measured:
           // buckets with zero OK rows have null sums and no block point
@@ -201,12 +206,15 @@ final class TierRunner(spark: SparkSession, root: String) {
           val lineage = todo.map(p =>
             p -> PartitionLineage(inputSnapshot, "ok")).toMap
           val m = blocksTable.commitOverwrite(blocks, "day_epoch", lineage)
+          val ms = elapsedMs
           todo.foreach { p =>
-            entries += ((key, p, m.partitions.get(p).map(_.rows).getOrElse(0L), "ok"))
+            entries += RunEntry(key, p,
+              m.partitions.get(p).map(_.rows).getOrElse(0L), "ok", ms)
           }
         } catch {
           case e: Exception =>
-            todo.foreach(p => entries += ((key, p, 0L, s"error:${e.getClass.getSimpleName}")))
+            todo.foreach(p => entries += RunEntry(key, p, 0L,
+              s"error:${e.getClass.getSimpleName}", elapsedMs))
         }
       }
     }
@@ -218,6 +226,12 @@ final class TierRunner(spark: SparkSession, root: String) {
                StandardCopyOption.REPLACE_EXISTING)
     manifest
   }
+
+  /** Full-rebuild mode — the reference's `--modified-days-ago 0`
+    * full-run analog (vph5_to_vpts.py:44-51): recompute every raw day
+    * partition through the whole cascade under a fresh run id.
+    */
+  def rebuildAll(runId: String): RunManifest = run(runId, rawTable.partitionKeys)
 
   /** Read a tier's current snapshot. */
   def tier(t: TierSpec): DataFrame = tableFor(t).read()
@@ -237,26 +251,35 @@ final class TierRunner(spark: SparkSession, root: String) {
   }
 }
 
+/** One (tier, partition) record of a run: lineage status + metrics
+  * (row count; wall-clock of the tier commit that produced it —
+  * resumed/skipped partitions carry 0).
+  */
+final case class RunEntry(tier: String, partition: String, rows: Long,
+                          status: String, elapsedMs: Long)
+
 /** Checkpoint manifest of one tier run: per (tier, partition) lineage
   * + metrics. JSON format is hand-rolled (no external deps) and
   * parsed back only for resume status.
   */
 final case class RunManifest(runId: String, inputSnapshot: Long,
-                             entries: Seq[(String, String, Long, String)]) {
+                             entries: Seq[RunEntry]) {
   def toJson: String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val parts = entries.map { case (tier, p, rows, status) =>
-      s"""{"tier":${q(tier)},"partition":${q(p)},"rows":$rows,"status":${q(status)}}"""
+    val parts = entries.map { e =>
+      s"""{"tier":${q(e.tier)},"partition":${q(e.partition)},"rows":${e.rows},""" +
+        s""""status":${q(e.status)},"elapsed_ms":${e.elapsedMs}}"""
     }.mkString("[", ",", "]")
     s"""{"run_id":${q(runId)},"input_snapshot":$inputSnapshot,"partitions":$parts}"""
   }
-  def okCount: Int = entries.count(_._4 == "ok")
+  def okCount: Int = entries.count(_.status == "ok")
 }
 
 object RunManifest {
   /** partition-status map "tier/partition" -> status. */
   def parseStatuses(json: String): Map[String, String] = {
-    val re = """\{"tier":"([^"]*)","partition":"([^"]*)","rows":(-?\d+),"status":"([^"]*)"\}""".r
+    val re = ("\\{\"tier\":\"([^\"]*)\",\"partition\":\"([^\"]*)\"," +
+      "\"rows\":(-?\\d+),\"status\":\"([^\"]*)\"(?:,\"elapsed_ms\":(-?\\d+))?\\}").r
     re.findAllMatchIn(json)
       .map(m => s"${m.group(1)}/${m.group(2)}" -> m.group(4)).toMap
   }

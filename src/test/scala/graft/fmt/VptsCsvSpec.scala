@@ -56,6 +56,18 @@ class VptsCsvSpec extends AnyFunSuite with SparkSuite {
       }
   }
 
+  test("path→source_file provenance hook feeds the regex gate (P12)") {
+    // the Spark analog of the reference's file_name_function hook
+    // (vpts.py:241-249): derive source_file from the scan's actual
+    // input path and pass it through the v1 provenance gate
+    val src = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(regexp_extract(input_file_name(), "([^/]+?)(\\.parquet)?$", 1)
+        .as("source_file"))
+      .distinct()
+      .select(VptsCsv.checkSourceFile(col("source_file")))
+    assert(src.collect().map(_.getString(0)).toSeq == Seq("events"))
+  }
+
   test("renderValue: two-state missingness survives to the sink (vpts.py:17-18)") {
     val df = Seq(
       (Some(5.3), Flag.OK),

@@ -138,6 +138,25 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Exchange"), plan.take(400))
   }
 
+  test("BMP header decode: byte-level LE parse round-trips; bad magic yields null") {
+    import spark.implicits._
+    // multi-byte values pin the little-endian byte order (0x00010203,
+    // 0x01020304); small values pin the padding
+    val df = Seq((1L, 66051L, 16909060L), (2L, 1L, 1L)).toDF("id", "w", "h")
+    val dec = df.select(col("id"),
+        Multimodal.decodeBmp(Multimodal.syntheticBmp(col("w"), col("h"))).as("d"))
+      .orderBy("id").collect()
+    assert(dec(0).getStruct(1).getLong(0) == 66051L)
+    assert(dec(0).getStruct(1).getLong(1) == 16909060L)
+    assert(dec(0).getStruct(1).getLong(2) == 24L)
+    assert(dec(1).getStruct(1).getLong(0) == 1L)
+    // wrong magic ('GIF8') and truncated payloads decode to null, never throw
+    val bad = Seq(Array[Byte](0x47, 0x49, 0x46, 0x38),
+                  Array[Byte](0x42, 0x4D)).toDF("p")
+    assert(bad.select(Multimodal.decodeBmp(col("p")).as("d"))
+      .filter(col("d").isNotNull).isEmpty)
+  }
+
   test("web-pages per-row invariant: text extracted from html is byte-identical") {
     assert(pages.filter(
       WebPages.extractText(col("html")) =!= col("text")).isEmpty)

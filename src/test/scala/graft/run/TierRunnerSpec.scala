@@ -91,11 +91,11 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     val pages = WebPages.load(spark, sfDir)
     val days = runner.ingest(pages)
     val m1 = runner.run("r1", days)
-    val fresh = m1.entries.count(e => e._4 == "ok" && e._3 >= 0)
+    val fresh = m1.entries.count(e => e.status == "ok" && e.rows >= 0)
     assert(fresh > 0)
     // replay of the same run id: everything resumed, nothing rewritten
     val m2 = runner.run("r1", days)
-    assert(m2.entries.forall(e => e._4 == "ok" && e._3 == -1L))
+    assert(m2.entries.forall(e => e.status == "ok" && e.rows == -1L))
   }
 
   test("text_sha invariant travels the cascade: tier XOR equals direct XOR") {
@@ -182,7 +182,7 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     val pages = WebPages.load(spark, sfDir)
     // drop a column the 5m rollup needs: the 5m commit fails at analysis
     val m = runner.run("r1", runner.ingest(pages.drop("value")))
-    val byTier = m.entries.groupBy(_._1).view.mapValues(_.map(_._4).toSet)
+    val byTier = m.entries.groupBy(_.tier).view.mapValues(_.map(_.status).toSet)
     assert(byTier("5m").forall(_.startsWith("error:")), byTier.toMap.toString)
     for (t <- Seq("1h", "1d", "30d", "blocks"))
       assert(byTier(t) == Set("skipped:upstream_failed"),
@@ -190,6 +190,25 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     // the checkpoint manifest was still written (no unhandled crash)
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$root/checkpoints/run-r1.json")))
+  }
+
+  test("full-rebuild mode recomputes every day partition (modified-days-ago=0 analog)") {
+    val root = tmpRoot()
+    val runner = new TierRunner(spark, root)
+    val pages = WebPages.load(spark, sfDir)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    // incremental history, then a full rebuild under a fresh run id
+    runner.run("r1", runner.ingest(pages.filter(col("warc_ts") < cut)))
+    runner.run("r2", runner.ingest(pages.filter(col("warc_ts") >= cut)))
+    val m = runner.rebuildAll("full")
+    assert(m.entries.forall(e => e.status == "ok" && e.rows >= 0),
+      "rebuild must recompute (not resume) every partition")
+    val full1d = Rollup.cascadeFlagged(
+      Rollup.cascadeFlagged(Rollup.fromRawFlagged(pages, TierSpec.T5m), TierSpec.T1h),
+      TierSpec.T1d)
+    val cols = Seq("domain", "bucket_epoch", "n", "n_ok", "sum_value_micros").map(col)
+    assert(sortedRows(runner.tier(TierSpec.T1d).select(cols: _*)) ==
+           sortedRows(full1d.select(cols: _*)))
   }
 
   test("manifest records lineage and round-trips through JSON") {
