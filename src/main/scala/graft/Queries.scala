@@ -109,6 +109,32 @@ object Queries {
            |       TRUE AS within_5pct
            |FROM webpages GROUP BY 1, 2""".stripMargin)),
 
+    // Same sketch property through TWO union levels (1h→1d→30d): the
+    // 30d estimate from cascaded unions must match the direct sketch
+    // of the raw data (compared via the exact count oracle ±5%).
+    "ts_distinct_urls_30d" -> QueryDef(
+      run = (s, dir) => {
+        val p = pages(s, dir)
+        val est = Sketches.estimated(
+          Sketches.cascade(
+            Sketches.cascade(Sketches.fromRaw(p, TierSpec.T1h), TierSpec.T1d),
+            TierSpec.T30d))
+        val exact = p
+          .groupBy(col("domain"), Rollup.bucket(col("warc_epoch"), TierSpec.T30d))
+          .agg(countDistinct(col("url")).as("exact_distinct"))
+        est.join(exact, Seq("domain", "bucket_epoch"))
+          .select(col("domain"), col("bucket_epoch"), col("n"),
+            (abs(col("distinct_est") - col("exact_distinct"))
+              <= col("exact_distinct") * 0.05 + lit(1)).as("within_5pct"))
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       warc_epoch - (warc_epoch % ${TierSpec.T30d.seconds}) AS bucket_epoch,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       TRUE AS within_5pct
+           |FROM webpages GROUP BY 1, 2""".stripMargin)),
+
     // Downsample: derived per-bucket mean in exact integer micros
     // (floor(sum/n) — order-insensitive, engine-identical).
     "ts_downsample_1h" -> QueryDef(

@@ -83,6 +83,49 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("LeftAnti"), p.take(500))
   }
 
+  test("flagged rollup keeps the partial-agg + two-exchange cascade shape") {
+    val p = plan(Rollup.cascadeFlagged(
+      Rollup.fromRawFlagged(WebPages.load(spark, sfDir), TierSpec.T5m),
+      TierSpec.T1h))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2)
+  }
+
+  test("LSH ANN ranks via group-limit pushdown, query side broadcast") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = plan(Similarity.lshTopK(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5))
+    // rank<=k is pushed into a WindowGroupLimit (no full candidate sort
+    // survives) and the small query side broadcasts
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("url-bucketed tables join WITHOUT a shuffle (co-located bucket join)") {
+    // the north-rule bucketing contract: two tables bucketed by the
+    // same key into the same bucket count join shuffle-free — at 100 TB
+    // this is the difference between an exchange of the whole fact
+    // table and none at all
+    val pages = WebPages.load(spark, sfDir)
+      .select("url", "domain", "n_chars", "warc_epoch")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    pages.write.bucketBy(8, "url").sortBy("url")
+      .mode("overwrite").saveAsTable("graft_bucket_a")
+    pages.select("url", "warc_epoch").write.bucketBy(8, "url").sortBy("url")
+      .mode("overwrite").saveAsTable("graft_bucket_b")
+    // merge hint: at test scale the planner would broadcast the tiny
+    // side (also shuffle-free, but trivially); the 100 TB case is two
+    // big sides, where only bucket co-location avoids the exchange
+    val j = spark.table("graft_bucket_a").hint("merge")
+      .join(spark.table("graft_bucket_b"), "url")
+    j.collect() // finalize AQE plan
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("Exchange"),
+      s"bucketed join must not shuffle:\n${p.take(800)}")
+  }
+
   test("salted rollup phase 1 keys include the salt (skew spread)") {
     val o = optimized(Rollup.fromRawSalted(
       WebPages.load(spark, sfDir), TierSpec.T1h, saltBuckets = 8))
