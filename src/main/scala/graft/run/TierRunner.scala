@@ -233,6 +233,30 @@ final class TierRunner(spark: SparkSession, root: String) {
     */
   def rebuildAll(runId: String): RunManifest = run(runId, rawTable.partitionKeys)
 
+  /** Per-tier retention: drop day partitions older than
+    * `keepDays(tier)` days behind the newest day present in that tier
+    * (the finest tier ages out first — the whole point of the ladder:
+    * 5m kept days, 1h kept months, 30d kept forever). Manifest-only
+    * (no data rewrite); unreferenced snapshot directories are
+    * reclaimed immediately via [[TierTable.expireSnapshots]]. Returns
+    * the dropped partition keys per tier.
+    */
+  def applyRetention(keepDays: Map[TierSpec, Int],
+                     keepSnapshots: Int = 2): Map[String, Set[String]] =
+    keepDays.map { case (t, days) =>
+      val tbl = tableFor(t)
+      val keys = tbl.partitionKeys.map(_.toLong)
+      val dropped =
+        if (keys.isEmpty) Set.empty[String]
+        else {
+          val cutoff = keys.max - days.toLong * TierSpec.T1d.seconds
+          val d = tbl.commitRetention(_.toLong >= cutoff)
+          tbl.expireSnapshots(keepSnapshots)
+          d
+        }
+      t.name -> dropped
+    }
+
   /** Read a tier's current snapshot. */
   def tier(t: TierSpec): DataFrame = tableFor(t).read()
 

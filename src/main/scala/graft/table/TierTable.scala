@@ -173,6 +173,65 @@ final class TierTable(val root: String, spark: SparkSession) {
       .drop("snap")
   }
 
+  /** Manifest-only retention commit: a new snapshot that simply drops
+    * every partition whose key fails `keep` — no data is rewritten (the
+    * dropped directories become unreferenced and are reclaimed by
+    * [[expireSnapshots]]). Returns the dropped keys.
+    */
+  def commitRetention(keep: String => Boolean): Set[String] = {
+    val parent = currentManifest.getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val (kept, dropped) = parent.partitions.partition { case (k, _) => keep(k) }
+    if (dropped.isEmpty) return Set.empty
+    val snap = parent.snapshot + 1
+    val m = Manifest(snap, Some(parent.snapshot), System.currentTimeMillis(),
+                     parent.partitionCol, kept)
+    val tmp = manifests.resolve(s".manifest-$snap.json.tmp")
+    Files.writeString(tmp, m.toJson)
+    Files.move(tmp, manifests.resolve(s"manifest-$snap.json"),
+               StandardCopyOption.ATOMIC_MOVE)
+    val ctmp = rootPath.resolve(".CURRENT.tmp")
+    Files.writeString(ctmp, snap.toString)
+    Files.move(ctmp, current, StandardCopyOption.ATOMIC_MOVE,
+               StandardCopyOption.REPLACE_EXISTING)
+    dropped.keySet
+  }
+
+  /** Expire history: keep the `keepLast` most recent snapshots (always
+    * at least the current one), delete older manifests, and remove any
+    * `data/snap=<k>` directory no kept manifest references — the
+    * Iceberg expire-snapshots maintenance analog. Copy-on-write means
+    * old snapshot dirs can still back current partitions; only truly
+    * unreferenced directories are deleted. Returns the deleted snapshot
+    * dirs' ids.
+    */
+  def expireSnapshots(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    import scala.jdk.CollectionConverters._
+    val ids = Files.list(manifests).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("manifest-") =>
+        s.stripPrefix("manifest-").stripSuffix(".json").toLong }
+      .toSeq.sorted
+    val (drop, keep) = ids.splitAt(math.max(ids.size - keepLast, 0))
+    val referenced: Set[Long] = keep.flatMap(id =>
+      manifest(id).partitions.values.collect {
+        case p if p.path.nonEmpty =>
+          // path shape: data/snap=<k>/<col>=<v>
+          p.path.split("/")(1).stripPrefix("snap=").toLong
+      }).toSet
+    drop.foreach(id => Files.deleteIfExists(manifests.resolve(s"manifest-$id.json")))
+    val deletable = drop.filterNot(referenced.contains)
+    deletable.foreach { id =>
+      val dir = rootPath.resolve(s"data/snap=$id")
+      if (Files.exists(dir)) {
+        Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
+    deletable
+  }
+
   /** Partitions whose content changed between two snapshots — the
     * snapshot-diff that drives incremental recompute of coarser tiers
     * (watermark semantics, vph5_to_vpts.py:120-144).

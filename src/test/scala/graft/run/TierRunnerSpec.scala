@@ -211,6 +211,38 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
            sortedRows(full1d.select(cols: _*)))
   }
 
+  test("per-tier retention ages out old 5m partitions; coarser tiers keep history") {
+    val root = tmpRoot()
+    val runner = new TierRunner(spark, root)
+    val pages = WebPages.load(spark, sfDir) // 31 days of data
+    runner.run("r1", runner.ingest(pages))
+    val t5m = new graft.table.TierTable(s"$root/tier_5m", spark)
+    val before = t5m.partitionKeys.map(_.toLong)
+    assert(before.size > 20)
+
+    val dropped = runner.applyRetention(
+      Map(TierSpec.T5m -> 7), keepSnapshots = 1)
+    val after = t5m.partitionKeys.map(_.toLong)
+    val cutoff = before.max - 7L * 86400L
+    assert(after == before.filter(_ >= cutoff))
+    assert(dropped("5m").map(_.toLong) == before.filter(_ < cutoff))
+    // the retained data still reads, coarser tiers untouched
+    assert(t5m.read().count() > 0)
+    assert(runner.tier(TierSpec.T1d).count() > 0)
+
+    // history expired: one manifest left; every remaining snapshot dir
+    // is referenced by it
+    val manifests = new java.io.File(s"$root/tier_5m/manifests").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(manifests.length == 1)
+    val referenced = t5m.currentManifest.get.partitions.values
+      .filter(_.path.nonEmpty).map(_.path.split("/")(1)).toSet
+    val dirs = new java.io.File(s"$root/tier_5m/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.subsetOf(referenced),
+      s"unreferenced snapshot dirs not reclaimed: ${dirs -- referenced}")
+  }
+
   test("manifest records lineage and round-trips through JSON") {
     val root = tmpRoot()
     val runner = new TierRunner(spark, root)
