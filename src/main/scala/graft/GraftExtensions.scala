@@ -26,5 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "gorilla_decode takes one argument")
         GorillaDecodeExpression(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName,
+                         "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes two arguments")
+        graft.functions.DotProduct(children.head, children(1))
+      }))
   }
 }

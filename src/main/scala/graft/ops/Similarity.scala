@@ -25,9 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product of two array<double> columns — the
+    * native codegen'd [[graft.functions.DotProduct]] expression
+    * (bit-identical to `aggregate(zip_with(a,b,_*_),0.0,_+_)`, which is
+    * CodegenFallback-interpreted and was the hot path of every
+    * candidate-pair stream).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -126,6 +126,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     approx.unpersist()
   }
 
+  test("native dot product is bit-identical to the built-in fold it replaces") {
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val both = v.crossJoin(v.limit(7).select(col("v").as("w")))
+      .select(
+        graft.functions.DotProduct.dot(col("v"), col("w")).as("fast"),
+        aggregate(zip_with(col("v"), col("w"), (x, y) => x * y),
+                  lit(0.0), (acc, x) => acc + x).as("slow"))
+    // exact double equality: same products, same left-to-right adds
+    assert(both.filter(col("fast") =!= col("slow")).isEmpty)
+    // the expression participates in whole-stage codegen (no fallback)
+    val p = both.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(400))
+  }
+
   test("brute-force ANN is exact: agrees with itself under repartition") {
     val queries = emb.filter(col("vec_id") < 10)
     val a = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
