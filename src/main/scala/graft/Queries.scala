@@ -216,6 +216,40 @@ object Queries {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
       oracle = Some(TextStats.statsOracleSql(docsCte, "docs", "doc_id", "text"))),
 
+    // End-of-pipeline training-set selection: the curation ops COMPOSE —
+    // exact-dup canonical representative (min id per fingerprint) ∧
+    // quality floor ∧ confident language id, in one plan (one window
+    // shuffle on the fingerprint; everything else scan-speed).
+    "corpus_filter" -> QueryDef(
+      run = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val stats = TextStats.stats(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        stats
+          .withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy("fp_md5")))
+          .filter(col("doc_id") === col("keep_id") &&
+            col("quality_milli") >= 300L && col("lang_pred") =!= "und")
+          .select("doc_id", "lang_pred", "quality_milli", "n_tokens")
+      },
+      oracle = Some(
+        s"""$docsCte,
+           |s AS (
+           |  SELECT doc_id,
+           |         ${graft.functions.Portable.tokenCountSql("text")} AS n_tokens,
+           |         ${TextStats.langIdSql("text").replace("\n", "\n         ")} AS lang_pred,
+           |         ${TextStats.qualityMilliSql("text").replace("\n", "\n         ")} AS quality_milli,
+           |         md5(lower(text)) AS fp
+           |  FROM docs
+           |)
+           |, s2 AS (
+           |  SELECT s.*, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM s
+           |)
+           |SELECT doc_id, lang_pred, quality_milli, n_tokens
+           |FROM s2
+           |WHERE doc_id = keep_id
+           |  AND quality_milli >= 300 AND lang_pred <> 'und'""".stripMargin)),
+
     "dedup_exact" -> QueryDef(
       run = (s, dir) => Dedup.exact(pages(s, dir), "url", "text"),
       oracle = Some(Dedup.exactOracleSql(
@@ -230,6 +264,14 @@ object Queries {
       run = (s, dir) => Dedup.simHash(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
       oracle = Some(Dedup.simHashOracleSql(docsCte, "docs", "doc_id", "text"))),
+
+    // SimHash near-dup pairs via pigeonhole band blocking + one
+    // bit_count(xor) verify — the hamming-space analog of minHashLsh.
+    "dedup_simhash_pairs" -> QueryDef(
+      run = (s, dir) => Dedup.simHashNearDup(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
+      oracle = Some(Dedup.simHashNearDupOracleSql(
+        docsCte, "docs", "doc_id", "text"))),
 
     "dedup_jaccard" -> QueryDef(
       run = (s, dir) => Dedup.ngramJaccard(

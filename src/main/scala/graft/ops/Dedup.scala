@@ -246,6 +246,65 @@ object Dedup {
        |SELECT _id, CAST($fp AS BIGINT) AS simhash FROM sums""".stripMargin
   }
 
+  /** SimHash near-duplicate pairs: fingerprints within hamming distance
+    * ≤ `maxHamming`, found by pigeonhole band blocking — split the
+    * `bits`-bit fingerprint into `bands` equal slices; two fingerprints
+    * within distance d < bands must share at least one *exact* slice,
+    * so candidates are generated by an equality join on (band, slice)
+    * and verified with one `bit_count(xor)` — never all-pairs.
+    *
+    * Scale shape: |corpus|·bands rows of (id, band, slice) shuffle;
+    * slice width bits/bands sets bucket selectivity (wider slice =
+    * fewer, larger-distance collisions). Requires maxHamming < bands
+    * (the pigeonhole guarantee).
+    */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     bits: Int = 32, bands: Int = 4,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands)")
+    require(bits % bands == 0, "bands must divide bits")
+    val w = bits / bands
+    val fp = simHash(df, idCol, textCol, bits)
+    val slices = fp.select(col("_id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("simhash"), b * w) % (1L << w)).as("slice"))): _*))
+        .as("bb"))
+      .select(col("_id"), col("simhash"), col("bb.band"), col("bb.slice"))
+    val l = slices.select(col("_id").as("id_a"), col("simhash").as("fp_a"),
+                          col("band"), col("slice"))
+    val r = slices.select(col("_id").as("id_b"), col("simhash").as("fp_b"),
+                          col("band"), col("slice"))
+    l.join(r, Seq("band", "slice"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  def simHashNearDupOracleSql(fromCte: String, table: String, idCol: String,
+                              textCol: String, bits: Int = 32,
+                              bands: Int = 4, maxHamming: Int = 3): String = {
+    val w = bits / bands
+    val inner = simHashOracleSql(fromCte, table, idCol, textCol, bits)
+    val bandSelects = (0 until bands).map(b =>
+      s"SELECT _id, simhash, $b AS band, (simhash // ${1L << (b * w)}) % ${1L << w} AS slice FROM fp")
+      .mkString("\n  UNION ALL ")
+    s"""WITH fp AS (
+       |  ${inner.replace("\n", "\n  ")}
+       |),
+       |slices AS (
+       |  $bandSelects
+       |)
+       |SELECT DISTINCT a._id AS id_a, b._id AS id_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM slices a JOIN slices b
+       |  ON a.band = b.band AND a.slice = b.slice AND a._id < b._id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Exact n-gram (word-set) Jaccard
   // ------------------------------------------------------------------
