@@ -170,6 +170,31 @@ object Rollup {
       .otherwise(lit(Flag.NODATA.toInt)).cast("int")
   }
 
+  /** Skew-resistant flagged variant: two-phase flag-aware aggregation —
+    * phase 1 over (series, salt, bucket) spreads a Zipf-head series
+    * over `saltBuckets` reducers, phase 2 merges the partials. Exactly
+    * equal to [[fromRawFlagged]] (all measures mergeable; XOR text_sha
+    * included) — equality is spec-pinned, so the production runner can
+    * flip it on for hot-domain inputs without a correctness delta.
+    */
+  def fromRawFlaggedSalted(pages: DataFrame, tier: TierSpec, saltBuckets: Int,
+                           seriesCols: Seq[String] = Seq("domain"),
+                           textSha: Option[Column] = None): DataFrame = {
+    val aggs1 = flagMeasures ++ textSha.map(c => bit_xor(c).as("text_sha")).toSeq
+    val salted = pages
+      .withColumn("value_micros", micros(col("value")))
+      .withColumn("_salt", pmod(col("event_id"), lit(saltBuckets)))
+      .groupBy(seriesCols.map(col) ++
+        Seq(col("_salt"), bucket(col("warc_epoch"), tier)): _*)
+      .agg(aggs1.head, aggs1.tail: _*)
+    val aggs2 =
+      if (textSha.isDefined) flagMerged :+ bit_xor(col("text_sha")).as("text_sha")
+      else flagMerged
+    salted
+      .groupBy(seriesCols.map(col) :+ col("bucket_epoch"): _*)
+      .agg(aggs2.head, aggs2.tail: _*)
+  }
+
   /** DuckDB oracle measures matching [[fromRawFlagged]] composed through
     * any number of [[cascadeFlagged]] steps.
     */

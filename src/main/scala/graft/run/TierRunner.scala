@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   * and divides all tier widths except 30d, whose buckets are rebuilt
   * from any touched member day.
   */
-final class TierRunner(spark: SparkSession, root: String) {
+final class TierRunner(spark: SparkSession, root: String,
+                       saltBuckets: Option[Int] = None) {
 
   private def tableFor(tier: TierSpec): TierTable =
     new TierTable(s"$root/tier_${tier.name}", spark).init()
@@ -135,15 +136,23 @@ final class TierRunner(spark: SparkSession, root: String) {
           todo.foreach(p => entries += RunEntry(key, p, 0L, "skipped:upstream_failed", 0L))
         } else try {
           val source: DataFrame =
-            if (tier == TierSpec.T5m)
+            if (tier == TierSpec.T5m) {
               // flagged measures: three-state missingness (OK/NODATA/
               // UNDETECT counts, OK-only value aggregates) travels the
               // whole production cascade. text_sha: the byte-identical-
               // text invariant, hashed from the html payload per raw
-              // row and XOR-folded up every tier.
-              Rollup.fromRawFlagged(rawTable.read(touchedDays),
-                tier, textSha = Some(xxhash64(
-                  graft.ingest.WebPages.extractText(col("html")))))
+              // row and XOR-folded up every tier. saltBuckets (skew
+              // mode for Zipf-head domains) switches to the two-phase
+              // salted aggregation — spec-pinned equal.
+              val sha = Some(xxhash64(
+                graft.ingest.WebPages.extractText(col("html"))))
+              saltBuckets match {
+                case Some(k) => Rollup.fromRawFlaggedSalted(
+                  rawTable.read(touchedDays), tier, k, textSha = sha)
+                case None => Rollup.fromRawFlagged(
+                  rawTable.read(touchedDays), tier, textSha = sha)
+              }
+            }
             else if (tier.seconds <= TierSpec.T1d.seconds)
               Rollup.cascadeFlagged(finer, tier)
             else {

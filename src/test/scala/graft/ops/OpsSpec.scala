@@ -62,6 +62,13 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(flagged.filter(col("n_ok") === 0).count() > 0)
   }
 
+  test("salted flagged rollup equals unsalted (with text_sha) — skew mode is free") {
+    val sha = Some(xxhash64(WebPages.extractText(col("html"))))
+    val plain = Rollup.fromRawFlagged(pages, TierSpec.T1h, textSha = sha)
+    val salted = Rollup.fromRawFlaggedSalted(pages, TierSpec.T1h, 8, textSha = sha)
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
   test("salted rollup equals unsalted rollup") {
     val plain = Rollup.fromRaw(pages, TierSpec.T1h)
     val salted = Rollup.fromRawSalted(pages, TierSpec.T1h, saltBuckets = 7)

@@ -243,6 +243,21 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
       s"unreferenced snapshot dirs not reclaimed: ${dirs -- referenced}")
   }
 
+  test("skew mode (saltBuckets) produces identical tiers to the default runner") {
+    val pages = WebPages.load(spark, sfDir)
+      .filter(col("warc_epoch") < 1704672000L) // first 7 days: keep it quick
+    val a = new TierRunner(spark, tmpRoot())
+    val b = new TierRunner(spark, tmpRoot(), saltBuckets = Some(8))
+    a.run("r", a.ingest(pages))
+    b.run("r", b.ingest(pages))
+    for (t <- Seq(TierSpec.T5m, TierSpec.T1d)) {
+      val ca = a.tier(t).drop("day_epoch")
+      val cb = b.tier(t).drop("day_epoch")
+      assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty,
+        s"salted runner diverged at ${t.name}")
+    }
+  }
+
   test("manifest records lineage and round-trips through JSON") {
     val root = tmpRoot()
     val runner = new TierRunner(spark, root)
