@@ -470,8 +470,9 @@ object Queries {
       run = (s, dir) => {
         import graft.fmt.VptsCsv
         import org.apache.spark.sql.types.{StringType, StructField, StructType}
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-csvscan").toString + "/chunks"
+        // fixed scratch path + overwrite mode: repeated registry runs
+        // reuse one directory instead of leaking a tmp dir per call
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/csvscan"
         val cols = Seq("event_id", "dt_iso", "event_type", "value_micros")
         val rendered = s.read.parquet(s"$dir/events.parquet").select(
           col("event_id").cast("string").as("event_id"),

@@ -48,18 +48,27 @@ object VptsValidate {
     }
 
     val isoRe = "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z$"
+    // null-safe: a NULL cell must COUNT AS a violation, not vanish
+    // (a raw `when(pred)` over a null cell yields NULL → otherwise(0) —
+    // the exact silent pass this gate exists to prevent)
     def bad(c: org.apache.spark.sql.Column) =
-      sum(when(c, 1L).otherwise(0L))
+      sum(when(coalesce(c, lit(true)), 1L).otherwise(0L))
+    val sentinels = Seq(v.nodata, v.undetect)
     val r = df.agg(
       count(lit(1)).as("rows"),
       bad(!col("datetime").rlike(isoRe)).as("bad_datetime"),
       bad(!col("gap").isin("TRUE", "FALSE")).as("bad_gap"),
       bad(!col("filled").isin("TRUE", "FALSE")).as("bad_filled"),
       bad(!col("source_file").rlike(v.sourceFileRegex)).as("bad_source"),
-      // the two missing sentinels apply to value and n TOGETHER: a row
-      // is OK, or wholly nodata, or wholly undetect
-      bad((col("value").isin(v.nodata, v.undetect)) =!=
-          (col("n").isin(v.nodata, v.undetect))).as("bad_sentinel"))
+      // the two missing sentinels apply to value and n TOGETHER and
+      // CONSISTENTLY: a row is OK (neither is a sentinel), or both
+      // carry the SAME sentinel — mixed states (value nodata, n
+      // undetect) are two contradictory missing claims on one row
+      bad((col("value").isin(sentinels: _*) ||
+           col("n").isin(sentinels: _*)) &&
+          !(col("value") <=> col("n"))).as("bad_sentinel"),
+      bad(df.columns.map(c => col(c).isNull).reduce(_ || _))
+        .as("bad_null"))
       .head()
     val rows = r.getLong(0)
     val errs = Seq(
@@ -67,7 +76,8 @@ object VptsValidate {
       ("gap not TRUE/FALSE", r.getLong(2)),
       ("filled not TRUE/FALSE", r.getLong(3)),
       ("source_file fails provenance regex", r.getLong(4)),
-      ("value/n missing-sentinel mismatch", r.getLong(5)))
+      ("value/n missing-sentinel mismatch", r.getLong(5)),
+      ("null cells", r.getLong(6)))
       .collect { case (m, n) if n > 0 => s"$m ($n rows)" }
     ValidationReport(errs.isEmpty, rows, errs)
   }

@@ -56,11 +56,15 @@ object Dedup {
   private def spread(df: DataFrame): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
     // inputFiles is plan metadata (no RDD materialization, unlike
-    // rdd.getNumPartitions); a derived/non-file plan reports zero files
-    // and is spread too — the repartition is a no-op cost at small
-    // scale and skipped implicitly at real scale (thousands of splits)
+    // rdd.getNumPartitions). Derived plans (no file scan underneath)
+    // are NOT respread: their parallelism was already set by the
+    // upstream exchange (spark.sql.shuffle.partitions ≈ slots).
+    // File-backed plans respread only when the file COUNT is below the
+    // slot count — a few huge files split into many tasks anyway, so
+    // that case pays one redundant (bounded) shuffle rather than ever
+    // serializing the expensive map work downstream.
     val files = df.inputFiles.length
-    if (files < slots) df.repartition(slots) else df
+    if (files > 0 && files < slots) df.repartition(slots) else df
   }
 
   /** Tokenize to the distinct word set. */
@@ -151,6 +155,10 @@ object Dedup {
       minHashSignatures(df, idCol, textCol, numHashes, shingleK),
       numHashes, bands).persist()
     val sizes = b.groupBy("band", "band_hash").agg(count(lit(1)).as("_bsz"))
+    // the eager count is not pure overhead: it is what materializes the
+    // persisted band stream, so both sides of the self-join below read
+    // the cache instead of recomputing the signature pipeline — and it
+    // is the no-silent-caps guarantee (dropped buckets always logged)
     val dropped = sizes.filter(col("_bsz") > maxBucket).count()
     if (dropped > 0)
       log.warn(s"minHashLsh: dropped $dropped band bucket(s) larger than " +
@@ -264,6 +272,10 @@ object Dedup {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands)")
     require(bits % bands == 0, "bands must divide bits")
+    // fingerprints are sums of positive powers only up to 2^59 — at 61+
+    // bits the sign bit flips and Spark's arithmetic shiftright diverges
+    // from the oracle's truncating // on negative values
+    require(bits <= 60, s"simhash supports at most 60 bits, got $bits")
     val w = bits / bands
     val fp = simHash(df, idCol, textCol, bits)
     val slices = fp.select(col("_id"), col("simhash"),

@@ -19,8 +19,10 @@ object ProfileExplode {
   /** Flatten `arrayCols` (parallel, equal-length per row) into one row
     * per index, carrying `scalarCols` through. Adds `idxName` (0-based
     * level index). Arrays shorter than the longest are padded with
-    * nulls by `arrays_zip` — mirroring the reference's fixed ladder
-    * where absent variables are missing values, never dropped rows.
+    * nulls by `arrays_zip`, and a row whose arrays are all null/empty
+    * still emits ONE row (null index, null measures) via the OUTER
+    * generator — mirroring the reference's fixed ladder where absent
+    * variables are missing values, never dropped rows/profiles.
     */
   def explodeParallel(df: DataFrame, arrayCols: Seq[String],
                       scalarCols: Seq[String],
@@ -28,7 +30,7 @@ object ProfileExplode {
     require(arrayCols.nonEmpty, "need at least one array column")
     val zipped = arrays_zip(arrayCols.map(col): _*)
     df.select(scalarCols.map(col) :+
-        posexplode(zipped).as(Seq(idxName, "_z")): _*)
+        posexplode_outer(zipped).as(Seq(idxName, "_z")): _*)
       .select(scalarCols.map(col) ++
         (col(idxName) +: arrayCols.map(c => col(s"_z.$c").as(c))): _*)
   }

@@ -196,8 +196,13 @@ final class TierRunner(spark: SparkSession, root: String,
     // (series, day) over the 5m points (north-star binary column) ----
     locally {
       val key = "blocks"
-      val todo = touchedDays.filterNot(p =>
+      val already = touchedDays.filter(p =>
         previous.get(s"$key/$p").contains("ok"))
+      val todo = touchedDays -- already
+      // resumed partitions must be re-recorded: the checkpoint is
+      // rewritten whole, and dropping them would make the NEXT resume
+      // rebuild every block partition
+      already.foreach(p => entries += RunEntry(key, p, -1L, "ok", 0L))
       val t0 = System.nanoTime()
       def elapsedMs: Long = (System.nanoTime() - t0) / 1000000L
       if (todo.nonEmpty) {

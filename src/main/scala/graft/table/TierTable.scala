@@ -162,11 +162,28 @@ final class TierTable(val root: String, spark: SparkSession) {
     val selected = m.partitions.toSeq.sortBy(_._1)
       .filter { case (k, p) =>
         p.path.nonEmpty && only.forall(_.contains(k)) }
-    if (selected.isEmpty)
-      throw new IllegalStateException(
-        s"no data partitions selected in snapshot ${m.snapshot} at $root" +
-          only.map(o => s" (requested: ${o.toSeq.sorted.mkString(",")})")
-            .getOrElse(""))
+    if (selected.isEmpty) {
+      // a PRUNED read whose requested partitions are all explicitly
+      // empty is a legitimate empty result (e.g. a recompute that
+      // produced zero rows): return an empty frame with the table's
+      // schema, derived from any data partition. Only a snapshot with
+      // no data anywhere is an error.
+      val anyData = m.partitions.toSeq.sortBy(_._1)
+        .collectFirst { case (_, p) if p.path.nonEmpty => p }
+      anyData match {
+        case Some(p) if only.isDefined =>
+          return spark.read.option("basePath", s"$root/data")
+            .parquet(s"$root/${p.path}")
+            .withColumn(m.partitionCol, col(m.partitionCol).cast("long"))
+            .drop("snap")
+            .filter(lit(false))
+        case _ =>
+          throw new IllegalStateException(
+            s"no data partitions in snapshot ${m.snapshot} at $root" +
+              only.map(o => s" (requested: ${o.toSeq.sorted.mkString(",")})")
+                .getOrElse(""))
+      }
+    }
     val paths = selected.map { case (_, p) => s"$root/${p.path}" }
     spark.read.option("basePath", s"$root/data").parquet(paths: _*)
       .withColumn(m.partitionCol, col(m.partitionCol).cast("long"))
@@ -208,11 +225,14 @@ final class TierTable(val root: String, spark: SparkSession) {
   def expireSnapshots(keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     import scala.jdk.CollectionConverters._
-    val ids = Files.list(manifests).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("manifest-") =>
-        s.stripPrefix("manifest-").stripSuffix(".json").toLong }
-      .toSeq.sorted
+    import scala.util.Using
+    val ids = Using.resource(Files.list(manifests)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("manifest-") =>
+          s.stripPrefix("manifest-").stripSuffix(".json").toLong }
+        .toSeq.sorted
+    }
     val (drop, keep) = ids.splitAt(math.max(ids.size - keepLast, 0))
     val referenced: Set[Long] = keep.flatMap(id =>
       manifest(id).partitions.values.collect {
@@ -225,8 +245,9 @@ final class TierTable(val root: String, spark: SparkSession) {
     deletable.foreach { id =>
       val dir = rootPath.resolve(s"data/snap=$id")
       if (Files.exists(dir)) {
-        Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
+        Using.resource(Files.walk(dir)) { walk =>
+          walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        }
       }
     }
     deletable

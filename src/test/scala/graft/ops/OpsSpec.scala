@@ -139,6 +139,13 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val r2 = ProfileExplode.explodeParallel(ragged, Seq("xs", "ys"), Seq("id"))
       .orderBy("level_idx").collect()
     assert(r2.length == 2 && r2(1).isNullAt(3))
+    // a profile whose arrays are all null still emits one row (outer
+    // generator) — scalars are never silently dropped
+    val nulls = Seq((9L, null.asInstanceOf[Seq[Int]],
+                     null.asInstanceOf[Seq[String]])).toDF("id", "xs", "ys")
+    val r3 = ProfileExplode.explodeParallel(nulls, Seq("xs", "ys"), Seq("id"))
+      .collect()
+    assert(r3.length == 1 && r3(0).getLong(0) == 9L && r3(0).isNullAt(1))
     // plan: one generator, no exchange (map-side row multiplier)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("Generate"), plan.take(400))

@@ -96,6 +96,13 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     // replay of the same run id: everything resumed, nothing rewritten
     val m2 = runner.run("r1", days)
     assert(m2.entries.forall(e => e.status == "ok" && e.rows == -1L))
+    // EVERY stage re-records its resumed partitions (the checkpoint is
+    // rewritten whole — dropped entries would force a rebuild next time)
+    assert(m2.entries.exists(_.tier == "blocks"))
+    assert(m2.entries.map(_.tier).toSet == m1.entries.map(_.tier).toSet)
+    // a third resume still skips everything
+    val m3 = runner.run("r1", days)
+    assert(m3.entries.forall(e => e.status == "ok" && e.rows == -1L))
   }
 
   test("text_sha invariant travels the cascade: tier XOR equals direct XOR") {
@@ -153,6 +160,11 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     assert(m.partitions("2").rows == 0 && m.partitions("2").path.isEmpty)
     assert(tbl.read().select("v").collect().map(_.getString(0)).toSeq
       == Seq("a2"))
+    // a pruned read of ONLY the explicitly-empty partition is a
+    // legitimate empty result (schema intact), not an error
+    val empty = tbl.read(Set("2"))
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == Set("v", "day_epoch"))
   }
 
   test("ingest replay is idempotent (crash between commit and checkpoint)") {
