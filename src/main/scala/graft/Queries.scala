@@ -297,6 +297,19 @@ object Queries {
       oracle = Some(Similarity.embeddingNearDupOracleSql(
         "embeddings", "vec_id", "embedding", "label", 300000L))),
 
+    // Second ANN scale path: IVF inverted lists (deterministic coarse
+    // quantizer; probe nprobe lists, exact rank within) — the
+    // partition-pruning-shaped alternative to LSH.
+    "ann_ivf_topk" -> QueryDef(
+      run = (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.ivfTopK(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .select("query_id", "neighbor_id", "rank")
+      },
+      oracle = Some(Similarity.ivfTopKOracleSql(
+        "embeddings", "vec_id", "embedding", 5, 10L))),
+
     // Scale path of embedding dedup: LSH bucket blocking instead of the
     // label block — the variant a 100 TB corpus actually runs.
     "dedup_embedding_lsh" -> QueryDef(

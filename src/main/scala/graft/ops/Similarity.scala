@@ -286,6 +286,117 @@ object Similarity {
        |FROM scored
        |QUALIFY rank <= $k""".stripMargin
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN
+  // ------------------------------------------------------------------
+
+  /** IVF ANN: a coarse quantizer assigns every corpus vector to its
+    * nearest centroid (one inverted list per centroid); a query probes
+    * its `nprobe` nearest centroids and ranks exactly within those
+    * lists only. The second scale path beside [[lshTopK]], with a
+    * different 100 TB shape: assignment is ONE scan × broadcast
+    * (centroids), and the inverted lists ARE a partition layout — a
+    * probe reads ~nprobe/nlist of the corpus (partition pruning),
+    * where LSH reads hash-scattered buckets.
+    *
+    * Centroids are the deterministic sample `id % centroidStep == 0`
+    * (a production deployment would k-means-train them; training is
+    * orthogonal to the query plumbing, and a deterministic quantizer
+    * is what makes the DuckDB oracle reproduce list assignment
+    * bit-for-bit). Affinity is nano-quantized cosine with centroid-id
+    * tie-break, so argmax is engine-portable.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroidStep: Long = 20L,
+              nprobe: Int = 3): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val cents = c.filter(col("neighbor_id") % centroidStep === 0)
+      .select(col("neighbor_id").as("cent_id"), col("cv").as("centv"),
+              col("cn").as("centn"))
+    def nearest(df: DataFrame, vec: String, nrm: String, idc: String,
+                keep: Int): DataFrame = {
+      val w = Window.partitionBy(idc)
+        .orderBy(col("cscore").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cscore",
+          floor(dot(col(vec), col("centv")) / (col(nrm) * col("centn"))
+            * lit(1e9)).cast("long"))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= keep)
+    }
+    val assigned = nearest(c, "cv", "cn", "neighbor_id", 1)
+      .select("neighbor_id", "cv", "cn", "cent_id")
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val probes = nearest(q, "qv", "qn", "query_id", nprobe)
+      .select("query_id", "qv", "qn", "cent_id")
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_nanos",
+        floor(dot(col("qv"), col("cv")) / (col("qn") * col("cn")) * lit(1e9))
+          .cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_nanos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score_nanos")
+  }
+
+  /** DuckDB oracle for [[ivfTopK]] with `queries = id < maxQueryId`. */
+  def ivfTopKOracleSql(table: String, idCol: String, vecCol: String,
+                       k: Int, maxQueryId: Long, centroidStep: Long = 20L,
+                       nprobe: Int = 3): String =
+    s"""WITH base AS (
+       |  SELECT $idCol AS id, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS v,
+       |         sqrt(list_sum(list_transform($vecCol,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM $table
+       |),
+       |cents AS (
+       |  SELECT id AS cent_id, v AS centv, nrm AS centn FROM base
+       |  WHERE id % $centroidStep = 0
+       |),
+       |aff AS (
+       |  SELECT base.id, cents.cent_id,
+       |         CAST(floor(
+       |           list_sum(list_transform(list_zip(base.v, cents.centv),
+       |                                   p -> p[1] * p[2]))
+       |           / (base.nrm * cents.centn) * 1e9) AS BIGINT) AS cscore
+       |  FROM base CROSS JOIN cents
+       |),
+       |ranked AS (
+       |  SELECT id, cent_id,
+       |         row_number() OVER (PARTITION BY id
+       |           ORDER BY cscore DESC, cent_id) AS crk
+       |  FROM aff
+       |),
+       |assigned AS (SELECT id, cent_id FROM ranked WHERE crk = 1),
+       |probes AS (
+       |  SELECT id AS query_id, cent_id FROM ranked
+       |  WHERE crk <= $nprobe AND id < $maxQueryId
+       |),
+       |cand AS (
+       |  SELECT DISTINCT probes.query_id, assigned.id AS neighbor_id
+       |  FROM probes JOIN assigned ON assigned.cent_id = probes.cent_id
+       |  WHERE assigned.id <> probes.query_id
+       |),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(floor(
+       |           list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+       |           / (q.nrm * c.nrm) * 1e9) AS BIGINT) AS score_nanos
+       |  FROM cand JOIN base q ON q.id = cand.query_id
+       |            JOIN base c ON c.id = cand.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY score_nanos DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+
   /** All (table, bucket) keys of a vector, as an array column —
     * exploded into the blocking-key stream.
     */

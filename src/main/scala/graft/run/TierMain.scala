@@ -26,6 +26,10 @@ object TierMain {
     val Array(sfDir, tableRoot, runId) = args.take(3)
     val watermark = args.lift(3)
 
+    // only stop a session this main created — embedding callers (tests,
+    // notebooks) keep theirs
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val builder = SparkSession.builder()
       .appName(s"graft-tier-$runId")
       .config("spark.sql.session.timeZone", "UTC")
@@ -47,6 +51,6 @@ object TierMain {
     val manifest = runner.run(runId, touched)
     // the run's checkpoint manifest (per-partition lineage + metrics)
     println(manifest.toJson)
-    spark.stop()
+    if (!preExisting) spark.stop()
   }
 }

@@ -126,6 +126,20 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     approx.unpersist()
   }
 
+  test("IVF ANN: probes cover the corpus partition-pruned; recall measured") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").cache()
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+                                 centroidStep = 20L, nprobe = 6).cache()
+    val hit = exact.join(ivf.select("query_id", "neighbor_id"),
+                         Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall > 0.4, f"IVF recall $recall%.2f too low for nprobe=6/25 lists")
+    assert(ivf.filter(col("rank") < 1 || col("rank") > 5).isEmpty)
+    exact.unpersist(); ivf.unpersist()
+  }
+
   test("native dot product is bit-identical to the built-in fold it replaces") {
     val v = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))

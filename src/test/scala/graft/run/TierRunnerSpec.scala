@@ -270,6 +270,22 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("TierMain e2e: the spark-submit entry ingests, cascades, checkpoints") {
+    // getOrCreate inside main reuses the suite session (one context per
+    // JVM) — exactly how spark-submit hands it an existing session
+    val root = tmpRoot()
+    TierMain.main(Array(sfDir, root, "e2e", "2024-01-20 00:00:00"))
+    val ckpt = java.nio.file.Paths.get(s"$root/checkpoints/run-e2e.json")
+    assert(java.nio.file.Files.exists(ckpt))
+    val statuses = RunManifest.parseStatuses(
+      java.nio.file.Files.readString(ckpt))
+    assert(statuses.nonEmpty && statuses.values.forall(_ == "ok"))
+    // watermark mode ingested only the tail days
+    val t1d = new graft.table.TierTable(s"$root/tier_1d", spark)
+    assert(t1d.partitionKeys.map(_.toLong).min >= 1705708800L) // 2024-01-20
+    assert(t1d.read().count() > 0)
+  }
+
   test("manifest records lineage and round-trips through JSON") {
     val root = tmpRoot()
     val runner = new TierRunner(spark, root)
