@@ -67,7 +67,9 @@ final class TierTable(val root: String, spark: SparkSession) {
     * partition) are collected from the cache, and the write streams
     * from the same cache — the commit never re-reads what it just
     * wrote (at 100 TB a post-write stats scan would double write-path
-    * I/O).
+    * I/O). The cached set is bounded: commits carry only the touched
+    * partitions' recompute output (tier rows / day increments), never
+    * the whole table, and MEMORY_AND_DISK spills rather than OOMs.
     *
     * Empty-partition contract: a key in `lineage` (the requested
     * recompute set) that produced zero rows is recorded as an explicit

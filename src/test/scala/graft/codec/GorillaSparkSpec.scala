@@ -74,7 +74,7 @@ class GorillaSparkSpec extends AnyFunSuite with SparkSuite {
       .toDF("series", "ts_epoch", "value")
     val block = pts.groupBy("series")
       .agg(GorillaAgg.gorillaEncode(col("ts_epoch"), col("value")).as("b"))
-      .select(length(col("b"))).head.getInt(0)
+      .select(length(col("b"))).head().getInt(0)
     assert(block < n * 16 / 5, s"block $block bytes vs raw ${n * 16}")
   }
 }

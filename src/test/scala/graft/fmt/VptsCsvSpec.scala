@@ -18,7 +18,7 @@ class VptsCsvSpec extends AnyFunSuite with SparkSuite {
 
   test("iso8601 renders UTC with Z suffix (P1)") {
     val out = Seq("2023-03-11 23:45:06").toDF("s")
-      .select(VptsCsv.iso8601(col("s").cast("timestamp"))).head.getString(0)
+      .select(VptsCsv.iso8601(col("s").cast("timestamp"))).head().getString(0)
     assert(out == "2023-03-11T23:45:06Z")
   }
 
@@ -49,7 +49,7 @@ class VptsCsvSpec extends AnyFunSuite with SparkSuite {
     val bad = Seq("/etc/passwd", "./x.h5", "a/../b.h5", "~home.h5")
     for (s <- good)
       assert(Seq(s).toDF("f").select(VptsCsv.checkSourceFile(col("f")))
-        .head.getString(0) == s)
+        .head().getString(0) == s)
     for (s <- bad)
       intercept[Exception] {
         Seq(s).toDF("f").select(VptsCsv.checkSourceFile(col("f"))).collect()

@@ -19,7 +19,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     val withDups = docs.unionByName(dup)
     val groups = Dedup.exact(withDups, "doc_id", "text")
     assert(groups.filter(col("n_dupes") === 2).count() == 5)
-    assert(groups.agg(sum("n_dupes")).head.getLong(0) == docs.count() + 5)
+    assert(groups.agg(sum("n_dupes")).head().getLong(0) == docs.count() + 5)
     // canonical representative is the minimum id (the original)
     assert(groups.filter(col("n_dupes") === 2)
       .filter(col("keep_id") >= 100000L).isEmpty)
@@ -43,8 +43,8 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
       .withColumnRenamed("jaccard_milli", "j").cache()
     val cand = Dedup.minHashLsh(docs, "doc_id", "text")
     val candJ = cand.join(exact, Seq("id_a", "id_b"))
-      .agg(avg("j")).head.getDouble(0)
-    val allJ = exact.agg(avg("j")).head.getDouble(0)
+      .agg(avg("j")).head().getDouble(0)
+    val allJ = exact.agg(avg("j")).head().getDouble(0)
     assert(candJ > allJ,
       s"candidate mean Jaccard $candJ should beat corpus mean $allJ")
     exact.unpersist()
@@ -55,7 +55,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     // members (>> cap) — without the cap the self-join would emit
     // ~500k pairs; with it, those buckets are dropped and logged.
     val one = docs.filter(col("doc_id") === 0)
-      .select(col("text")).head.getString(0)
+      .select(col("text")).head().getString(0)
     val clones = spark.range(200000, 201000)
       .select(col("id").as("doc_id"), lit(one).as("text"))
     // near-dup copies of docs 1..8 — disjoint from the cloned text, so

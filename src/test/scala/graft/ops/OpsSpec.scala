@@ -16,11 +16,11 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
 
   test("cascade conserves counts and sums at every tier") {
     val raw = pages.count()
-    val rawChars = pages.agg(sum("n_chars")).head.getLong(0)
+    val rawChars = pages.agg(sum("n_chars")).head().getLong(0)
     var finer = r5m
     for (tier <- TierSpec.cascade.tail) {
       finer = Rollup.cascade(finer, tier)
-      val agg = finer.agg(sum("n"), sum("sum_chars")).head
+      val agg = finer.agg(sum("n"), sum("sum_chars")).head()
       assert(agg.getLong(0) == raw, s"count conservation at ${tier.name}")
       assert(agg.getLong(1) == rawChars, s"sum conservation at ${tier.name}")
     }
@@ -84,7 +84,7 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
 
   test("gap-fill materializes the complete fixed grid per series") {
     val dense = GapFill.dense(r5m, TierSpec.T5m)
-    val bounds = r5m.agg(min("bucket_epoch"), max("bucket_epoch")).head
+    val bounds = r5m.agg(min("bucket_epoch"), max("bucket_epoch")).head()
     val gridLen = (bounds.getLong(1) - bounds.getLong(0)) / 300 + 1
     val nSeries = r5m.select("domain").distinct().count()
     assert(dense.count() == gridLen * nSeries)
