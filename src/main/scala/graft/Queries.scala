@@ -604,6 +604,34 @@ object Queries {
           |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
           |  AND ts < TIMESTAMP '2024-01-04 00:00:00'""".stripMargin)),
 
+    // Backward as-of join (time-series enrichment Spark lacks as an
+    // operator): every page row picks up the latest SPARSE daily
+    // rollup (days with n >= 25 only) at or before its timestamp —
+    // DuckDB's native ASOF LEFT JOIN is the oracle.
+    "asof_join" -> QueryDef(
+      run = (s, dir) => {
+        val p = pages(s, dir).select("event_id", "domain", "warc_epoch")
+        val sparse = Rollup.fromRaw(pages(s, dir), TierSpec.T1d)
+          .filter(col("n") >= 25)
+          .select(col("domain"), col("bucket_epoch"),
+            col("n").as("day_n"), col("sum_value_micros").as("day_sum"))
+        graft.ops.AsofJoin.backward(
+          p, sparse, Seq("domain"), "warc_epoch", "bucket_epoch")
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte},
+           |r1d AS (
+           |  SELECT domain,
+           |         warc_epoch - (warc_epoch % 86400) AS bucket_epoch,
+           |         CAST(count(*) AS BIGINT) AS day_n,
+           |         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS day_sum
+           |  FROM webpages GROUP BY 1, 2
+           |  HAVING count(*) >= 25
+           |)
+           |SELECT w.event_id, w.domain, w.warc_epoch, r.day_n, r.day_sum
+           |FROM webpages w ASOF LEFT JOIN r1d r
+           |  ON w.domain = r.domain AND w.warc_epoch >= r.bucket_epoch""".stripMargin)),
+
     // Top-k buckets per series (rank window; deterministic tie-break).
     "topk_per_series" -> QueryDef(
       run = (s, dir) => {

@@ -152,6 +152,24 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Exchange"), plan.take(400))
   }
 
+  test("as-of join: inclusive backward match, key isolation, leading nulls") {
+    import spark.implicits._
+    val left = Seq(("a", 5L, 1), ("a", 10L, 2), ("a", 15L, 3),
+                   ("a", 25L, 4), ("b", 100L, 5))
+      .toDF("k", "t", "row_id")
+    val right = Seq(("a", 10L, "x1"), ("a", 20L, "x2"))
+      .toDF("k", "rt", "payload")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "rt")
+      .orderBy("row_id").collect()
+    assert(out.map(r => Option(r.getString(3)).orNull).toSeq ==
+      Seq(null, "x1", "x1", "x2", null))
+    // ONE shuffle: a single window exchange, no join node
+    val plan = AsofJoin.backward(left, right, Seq("k"), "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(600))
+    assert(!plan.contains("Join"), plan.take(600))
+  }
+
   test("BMP header decode: byte-level LE parse round-trips; bad magic yields null") {
     import spark.implicits._
     // multi-byte values pin the little-endian byte order (0x00010203,
