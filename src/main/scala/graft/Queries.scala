@@ -632,6 +632,47 @@ object Queries {
            |FROM webpages w ASOF LEFT JOIN r1d r
            |  ON w.domain = r.domain AND w.warc_epoch >= r.bucket_epoch""".stripMargin)),
 
+    // Range (interval-containment) join, decomposed into an EQUI join
+    // on tumbling buckets: events inside 2-day "campaign" windows that
+    // open on every day whose 1d count clears a threshold. Oracle is a
+    // plain inequality join — DuckDB can afford quadratic at sf scale;
+    // the engine's plan cannot at 100 TB.
+    "range_join" -> QueryDef(
+      run = (s, dir) => {
+        val p = pages(s, dir).select("event_id", "domain", "warc_epoch")
+        val r1d = Rollup.fromRaw(pages(s, dir), TierSpec.T1d)
+        // above-average days open a 2-day window; the comparison is
+        // integer-exact (n·count > sum) so the qualifying set is
+        // bit-identical on both engines at every scale factor
+        val tot = r1d.agg(sum(col("n")).as("_s"), count(lit(1)).as("_c"))
+        val windows = r1d.crossJoin(broadcast(tot))
+          .filter(col("n") * col("_c") > col("_s"))
+          .select(col("domain"), col("bucket_epoch").as("w_start"),
+                  (col("bucket_epoch") + 2L * 86400L).as("w_end"))
+        graft.ops.RangeJoin.contains(
+            p, windows, Seq("domain"), "warc_epoch", "w_start", "w_end",
+            grainSeconds = 86400L)
+          .select("event_id", "domain", "warc_epoch", "w_start")
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte},
+           |w0 AS (
+           |  SELECT domain,
+           |         warc_epoch - (warc_epoch % 86400) AS w_start,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM webpages GROUP BY 1, 2
+           |),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS s,
+           |               CAST(count(*) AS BIGINT) AS c FROM w0),
+           |w AS (
+           |  SELECT domain, w_start, w_start + 2 * 86400 AS w_end
+           |  FROM w0, tot WHERE n * c > s
+           |)
+           |SELECT p.event_id, p.domain, p.warc_epoch, w.w_start
+           |FROM webpages p JOIN w
+           |  ON p.domain = w.domain
+           | AND p.warc_epoch >= w.w_start AND p.warc_epoch < w.w_end""".stripMargin)),
+
     // Top-k buckets per series (rank window; deterministic tie-break).
     "topk_per_series" -> QueryDef(
       run = (s, dir) => {

@@ -170,6 +170,25 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Join"), plan.take(600))
   }
 
+  test("range join: containment semantics, equi-join plan (no nested loop)") {
+    import spark.implicits._
+    val left = Seq(("a", 5L, 1), ("a", 15L, 2), ("a", 25L, 3),
+                   ("b", 15L, 4)).toDF("k", "t", "row_id")
+    // [10,20) and [12,30): t=15 is in BOTH; t=25 only in the second;
+    // boundary t=20 would be outside the first (end-exclusive)
+    val right = Seq(("a", 10L, 20L), ("a", 12L, 30L))
+      .toDF("k", "ws", "we")
+    val out = RangeJoin.contains(left, right, Seq("k"), "t", "ws", "we",
+                                 grainSeconds = 10L)
+    val got = out.select("row_id", "ws").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((2, 10L), (2, 12L), (3, 12L)))
+    // equi-join on (key, bucket): SMJ/hash join, never a nested loop
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop"), p.take(600))
+  }
+
   test("BMP header decode: byte-level LE parse round-trips; bad magic yields null") {
     import spark.implicits._
     // multi-byte values pin the little-endian byte order (0x00010203,
