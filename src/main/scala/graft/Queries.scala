@@ -483,9 +483,13 @@ object Queries {
       run = (s, dir) => {
         import graft.fmt.VptsCsv
         import org.apache.spark.sql.types.{StringType, StructField, StructType}
-        // fixed scratch path + overwrite mode: repeated registry runs
-        // reuse one directory instead of leaking a tmp dir per call
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/csvscan"
+        // per-application scratch path + overwrite mode: repeated
+        // registry runs within one session reuse one directory, while
+        // concurrent Verify/Bench runs on the same box stay isolated
+        // (a shared fixed path let one run clobber the other's chunk
+        // files mid-read)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/" +
+          s"${s.sparkContext.applicationId}/csvscan"
         val cols = Seq("event_id", "dt_iso", "event_type", "value_micros")
         val rendered = s.read.parquet(s"$dir/events.parquet").select(
           col("event_id").cast("string").as("event_id"),

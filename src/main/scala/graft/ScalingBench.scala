@@ -78,9 +78,26 @@ object ScalingBench {
     // SMT annotation: local[k] above the physical-core count shares
     // hyperthreads — those levels measure SMT contention, not the
     // engine's scaling. availableProcessors counts hardware threads;
-    // this box is 2-way SMT.
+    // the physical-core count is read from the sysfs topology (distinct
+    // (package, core) pairs), overridable via GRAFT_PHYSICAL_CORES, with
+    // a 2-way-SMT guess only as the last resort.
     val hwThreads = Runtime.getRuntime.availableProcessors()
-    val physCores = hwThreads / 2
+    val physCores = sys.env.get("GRAFT_PHYSICAL_CORES").map(_.toInt).getOrElse {
+      try {
+        import java.nio.file.{Files, Paths}
+        val cpuDir = new java.io.File("/sys/devices/system/cpu")
+        val cores = cpuDir.listFiles().toSeq
+          .filter(_.getName.matches("cpu\\d+"))
+          .flatMap { d =>
+            val core = Paths.get(d.getPath, "topology", "core_id")
+            val pkg = Paths.get(d.getPath, "topology", "physical_package_id")
+            if (Files.exists(core) && Files.exists(pkg))
+              Some((Files.readString(pkg).trim, Files.readString(core).trim))
+            else None
+          }.toSet
+        if (cores.nonEmpty) cores.size else hwThreads / 2
+      } catch { case _: Exception => hwThreads / 2 }
+    }
 
     val pairsJson = ns.map { n =>
       val (tN, t4N) = (best(n)._2, best(4 * n)._2)

@@ -55,11 +55,15 @@ object VptsCsv {
   /** P2 — int-or-nodata: "0"/"NULL" map to the nodata sentinel, other
     * strings must parse as int; unparseable input raises, matching the
     * reference's bare `int(value)` ValueError (vpts_csv.py:40-74) —
-    * never silently nulled.
+    * never silently nulled. Parsed as LONG so any digit string up to
+    * 19 digits round-trips (an `int` cast would overflow at 2^31;
+    * beyond-long digit strings raise under ANSI arithmetic rather than
+    * nulling — the reference's arbitrary-precision `int()` has no
+    * fixed-width Spark equivalent, so the ceiling is explicit).
     */
   def intToNodata(c: Column, v: VptsCsvVersion = VptsCsvV1): Column =
     when(c.isin("0", "NULL"), lit(v.nodata))
-      .when(c.rlike("^[+-]?[0-9]+$"), c.cast("int").cast("string"))
+      .when(c.rlike("^[+-]?[0-9]+$"), c.cast("long").cast("string"))
       .otherwise(raise_error(concat(lit("not an integer value: "),
                                     coalesce(c, lit("null")))))
 

@@ -64,16 +64,25 @@ object Multimodal {
     StructField("width", LongType), StructField("height", LongType),
     StructField("bpp", LongType)))
 
+  /** Signed 32-bit reinterpretation of a 4-byte little-endian read:
+    * BITMAPINFOHEADER's biHeight is SIGNED (negative = top-down row
+    * order), so the high bit means −(2^32 − v), not a value near 2^32.
+    */
+  private def asInt32(u: Column): Column =
+    when(u >= lit(1L << 31), u - lit(1L << 32)).otherwise(u)
+
   /** REAL decode: BMP header fields from raw bytes. Non-BMP payloads
     * (wrong magic or truncated header) decode to null — the quarantine
-    * channel decides their fate, the decoder never throws.
+    * channel decides their fate, the decoder never throws. `height` is
+    * signed per the spec: a top-down BMP decodes to its negative
+    * height (consumers take `abs` for the pixel-row count).
     */
   def decodeBmp(payload: Column): Column =
     when(hex(substring(payload, 1, 2)) === "424D" &&
          length(payload) >= 30,
       struct(
         leUint(payload, 19, 4).as("width"),
-        leUint(payload, 23, 4).as("height"),
+        asInt32(leUint(payload, 23, 4)).as("height"),
         leUint(payload, 29, 2).as("bpp")))
       .otherwise(lit(null).cast(bmpSchema))
 

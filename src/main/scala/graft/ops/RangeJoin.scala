@@ -26,7 +26,11 @@ object RangeJoin {
                grainSeconds: Long): DataFrame = {
     require(grainSeconds > 0, "grain must be positive")
     def bucketOf(c: Column): Column = c - pmod(c, lit(grainSeconds))
-    val r = right.withColumn("_b",
+    // empty/inverted intervals (end <= start) match nothing by the
+    // containment predicate — drop them BEFORE the bucket sequence,
+    // whose inverted bounds would otherwise throw at runtime and fail
+    // the whole job for one degenerate right row
+    val r = right.filter(col(endCol) > col(startCol)).withColumn("_b",
       explode(sequence(bucketOf(col(startCol)),
                        bucketOf(col(endCol) - 1),
                        lit(grainSeconds))))

@@ -297,13 +297,24 @@ final case class Manifest(snapshot: Long, parent: Option[Long],
         .getOrElse("")
       s"""${q(k)}:{"path":${q(p.path)},"rows":${p.rows},"checksum":${p.checksum}$lin}"""
     }.mkString("{", ",", "}")
-    s"""{"snapshot":$snapshot,"parent":${parent.map(_.toString).getOrElse("null")},""" +
+    s"""{"format":${Manifest.FormatVersion},"snapshot":$snapshot,""" +
+      s""""parent":${parent.map(_.toString).getOrElse("null")},""" +
       s""""timestamp_ms":$timestampMs,"partition_col":${q(partitionCol)},""" +
       s""""partitions":$parts}"""
   }
 }
 
 object Manifest {
+  /** Table-layout/manifest format version. Bumped whenever the on-disk
+    * contract changes (v2: Hive-style `data/snap=<k>/<col>=<p>` layout +
+    * name-sorted-column checksums; v1 — pre-round-2 `data/s<k>` — had no
+    * version field at all). A versionless or mismatched manifest fails
+    * fast at open instead of yielding silently different plans,
+    * spurious snapshot diffs, or a NumberFormatException deep inside
+    * [[TierTable.expireSnapshots]].
+    */
+  val FormatVersion: Long = 2L
+
   /** Minimal JSON reader for manifests this class wrote (no external
     * JSON library; the format is fully under our control).
     */
@@ -311,6 +322,16 @@ object Manifest {
     import scala.util.matching.Regex
     def longField(name: String): Long =
       s"""\"$name\":(-?\\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+    val fmt = """"format":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    fmt match {
+      case None => throw new IllegalStateException(
+        "unversioned (pre-v2) tier-table manifest: this table was " +
+          "written with the legacy data/s<k> layout and must be " +
+          "rebuilt (rebuildAll) — refusing to guess at its layout")
+      case Some(v) if v != FormatVersion => throw new IllegalStateException(
+        s"tier-table manifest format $v != supported $FormatVersion")
+      case _ => ()
+    }
     val parent = """"parent":(null|\d+)""".r.findFirstMatchIn(s).get.group(1) match {
       case "null" => None
       case n      => Some(n.toLong)

@@ -208,6 +208,29 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       .filter(col("d").isNotNull).isEmpty)
   }
 
+  test("BMP biHeight is signed: a top-down BMP decodes to its negative height") {
+    import spark.implicits._
+    // -5 as a uint32 bit pattern = 4294967291; biHeight is signed per
+    // BITMAPINFOHEADER, so the decode must read -5, not ~2^32
+    val df = Seq((1L, 10L, 4294967291L)).toDF("id", "w", "hbits")
+    val dec = df.select(
+        Multimodal.decodeBmp(Multimodal.syntheticBmp(col("w"), col("hbits"))).as("d"))
+      .head().getStruct(0)
+    assert(dec.getLong(0) == 10L)
+    assert(dec.getLong(1) == -5L, s"expected -5, got ${dec.getLong(1)}")
+  }
+
+  test("range join: degenerate (empty/inverted) intervals match nothing, never throw") {
+    import spark.implicits._
+    val left = Seq(("a", 15L, 1)).toDF("k", "t", "row_id")
+    // empty [10,10) and inverted [30,20) alongside one real window
+    val right = Seq(("a", 10L, 10L), ("a", 30L, 20L), ("a", 10L, 20L))
+      .toDF("k", "ws", "we")
+    val got = RangeJoin.contains(left, right, Seq("k"), "t", "ws", "we", 10L)
+      .select("row_id", "ws").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((1, 10L)))
+  }
+
   test("web-pages per-row invariant: text extracted from html is byte-identical") {
     assert(pages.filter(
       WebPages.extractText(col("html")) =!= col("text")).isEmpty)

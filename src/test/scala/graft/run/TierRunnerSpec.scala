@@ -299,5 +299,26 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     assert(tm.partitions.nonEmpty)
     assert(tm.partitions.values.forall(p =>
       p.lineage.exists(_.status == "ok") && p.rows > 0))
+    // format version is stamped and round-trips
+    assert(tm.toJson.contains(s""""format":${graft.table.Manifest.FormatVersion}"""))
+    assert(graft.table.Manifest.fromJson(tm.toJson) == tm)
+  }
+
+  test("legacy (unversioned) manifest fails fast at open, never mis-plans") {
+    // a pre-v2 manifest has no format field and a data/s<k> layout —
+    // opening it must be an explicit error, not spurious diffs or a
+    // NumberFormatException deep inside expireSnapshots
+    val legacy = """{"snapshot":3,"parent":2,"timestamp_ms":1,""" +
+      """"partition_col":"day_epoch","partitions":""" +
+      """{"0":{"path":"data/s3/0","rows":5,"checksum":7}}}"""
+    val e = intercept[IllegalStateException] {
+      graft.table.Manifest.fromJson(legacy)
+    }
+    assert(e.getMessage.contains("unversioned"))
+    val future = legacy.replace("{\"snapshot\"", "{\"format\":99,\"snapshot\"")
+    val e2 = intercept[IllegalStateException] {
+      graft.table.Manifest.fromJson(future)
+    }
+    assert(e2.getMessage.contains("99"))
   }
 }
