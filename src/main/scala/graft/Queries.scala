@@ -182,25 +182,28 @@ object Queries {
            |         AS delta_micros
            |FROM r""".stripMargin)),
 
+    // dense() is a single-window + generator plan referencing its input
+    // once (plus a 1-row broadcast bounds aggregate in the global
+    // flavor) — no persist needed, no cache leaks into the session.
     "ts_gapfill_1h" -> QueryDef(
-      run = (s, dir) => {
-        // dense() references its input three times (bounds, series,
-        // join); persist so the rollup subtree is computed once — the
-        // production path (TierRunner) reads a materialized tier
-        // instead.
-        val r1h = Rollup.cascade(
-          Rollup.fromRaw(pages(s, dir), TierSpec.T5m), TierSpec.T1h).persist()
-        GapFill.dense(r1h, TierSpec.T1h)
-      },
+      run = (s, dir) => GapFill.dense(Rollup.cascade(
+        Rollup.fromRaw(pages(s, dir), TierSpec.T5m), TierSpec.T1h),
+        TierSpec.T1h),
       oracle = Some(GapFill.denseOracleSql(TierSpec.T1h))),
 
+    // Per-series-bounds flavor — the 100 TB default: each series'
+    // ladder spans its own lifetime, not the global range.
+    "ts_gapfill_series_1h" -> QueryDef(
+      run = (s, dir) => GapFill.denseBySeries(Rollup.cascade(
+        Rollup.fromRaw(pages(s, dir), TierSpec.T5m), TierSpec.T1h),
+        TierSpec.T1h),
+      oracle = Some(GapFill.denseBySeriesOracleSql(TierSpec.T1h))),
+
     "ts_ffill_1h" -> QueryDef(
-      run = (s, dir) => {
-        val r1h = Rollup.cascade(
-          Rollup.fromRaw(pages(s, dir), TierSpec.T5m), TierSpec.T1h).persist()
-        GapFill.forwardFill(GapFill.dense(r1h, TierSpec.T1h))
-          .select("domain", "bucket_epoch", "is_gap", "ffill_value")
-      },
+      run = (s, dir) => GapFill.forwardFill(GapFill.dense(Rollup.cascade(
+          Rollup.fromRaw(pages(s, dir), TierSpec.T5m), TierSpec.T1h),
+          TierSpec.T1h))
+        .select("domain", "bucket_epoch", "is_gap", "ffill_value"),
       oracle = Some(GapFill.ffillOracleSql(TierSpec.T1h)))
   )
 

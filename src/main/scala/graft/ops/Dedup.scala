@@ -128,7 +128,26 @@ object Dedup {
       .select(col("_id"), col("bb.band"), col("bb.band_hash"))
   }
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+  /** The capped band stream: bands whose bucket exceeds `maxBucket`
+    * members are filtered out via a count window over (band, band_hash)
+    * — skew stats folded INTO the plan (one exchange keyed exactly like
+    * the downstream self-join), no persist, no driver-blocking stats
+    * action. Callers wanting the dropped-bucket report run
+    * [[minHashLshDropped]] — the cap itself is documented here and in
+    * the operator, never silent.
+    */
+  private[ops] def cappedBands(df: DataFrame, idCol: String, textCol: String,
+                               numHashes: Int, bands: Int, shingleK: Int,
+                               maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = lshBands(
+      minHashSignatures(df, idCol, textCol, numHashes, shingleK),
+      numHashes, bands)
+    val w = Window.partitionBy("band", "band_hash")
+    b.withColumn("_bsz", count(lit(1)).over(w))
+      .filter(col("_bsz") <= maxBucket)
+      .select("_id", "band", "band_hash")
+  }
 
   /** Candidate near-duplicate pairs: ids sharing any LSH band bucket.
     * k-word shingles (default 3) keep band buckets selective — unigram
@@ -139,39 +158,41 @@ object Dedup {
     * boilerplate/empty-page bucket at corpus scale is a quadratic bomb
     * AQE skew-splitting cannot bound (it splits the *input*, not the
     * join *output*). Buckets larger than `maxBucket` are dropped from
-    * pairing and the dropped-bucket count is logged — never silently.
-    * Members of a dropped bucket still pair through their other
-    * (selective) bands, and truly identical texts are the exact-dedup
-    * stage's job, not LSH's.
+    * pairing — the cap is part of the operator contract (use
+    * [[minHashLshDropped]] to audit what a given cap drops). Members of
+    * a dropped bucket still pair through their other (selective) bands,
+    * and truly identical texts are the exact-dedup stage's job, not
+    * LSH's.
+    *
+    * Plan shape: the bucket-size filter is ONE count window over
+    * (band, band_hash) — the exact key the self-join below shuffles on,
+    * so the expensive signature pipeline (shingling + seeded md5s) runs
+    * once below a single exchange that both join sides REUSE
+    * (ReusedExchange, pinned in PlanSpec); no persist leaks into the
+    * caller's session and no eager stats action blocks the driver.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4,
                  shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    // persist: the bucket-size pass and both sides of the self-join
-    // read the band stream — the signature computation (shingling +
-    // 16 seeded md5s per shingle) must not run three times. The
-    // harness (Verify/Bench) clears caches between queries.
-    val b = lshBands(
-      minHashSignatures(df, idCol, textCol, numHashes, shingleK),
-      numHashes, bands).persist()
-    val sizes = b.groupBy("band", "band_hash").agg(count(lit(1)).as("_bsz"))
-    // the eager count is not pure overhead: it is what materializes the
-    // persisted band stream, so both sides of the self-join below read
-    // the cache instead of recomputing the signature pipeline — and it
-    // is the no-silent-caps guarantee (dropped buckets always logged)
-    val dropped = sizes.filter(col("_bsz") > maxBucket).count()
-    if (dropped > 0)
-      log.warn(s"minHashLsh: dropped $dropped band bucket(s) larger than " +
-        s"$maxBucket members from pairing (skew cap)")
-    val keep = b.join(sizes.filter(col("_bsz") <= maxBucket),
-                      Seq("band", "band_hash"))
-      .select("_id", "band", "band_hash")
+    val keep = cappedBands(df, idCol, textCol, numHashes, bands, shingleK,
+                           maxBucket)
     val l = keep.select(col("_id").as("id_a"), col("band"), col("band_hash"))
     val r = keep.select(col("_id").as("id_b"), col("band"), col("band_hash"))
     l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** Audit companion of [[minHashLsh]]'s skew cap: the band buckets a
+    * given `maxBucket` excludes from pairing, with their member counts.
+    */
+  def minHashLshDropped(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, bands: Int = 4,
+                        shingleK: Int = 3, maxBucket: Int = 1000): DataFrame =
+    lshBands(minHashSignatures(df, idCol, textCol, numHashes, shingleK),
+             numHashes, bands)
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("members"))
+      .filter(col("members") > maxBucket)
 
   def minHashLshOracleSql(fromCte: String, table: String, idCol: String,
                           textCol: String, numHashes: Int = 16,
@@ -335,9 +356,12 @@ object Dedup {
     require(n <= maxInputRows,
       s"ngramJaccard is the quadratic small-scale baseline ($n rows > " +
         s"$maxInputRows cap); use minHashLsh at scale")
-    // persisted: the token stream feeds sizes and both join sides
+    // the token stream feeds sizes and both join sides; the join sides
+    // share one reused exchange on (_blk, w), and the sizes aggregation
+    // re-scans — bounded (this operator refuses large inputs above),
+    // and no persist leaks into the caller's session
     val words = spread(df).select(col(idCol).as("_id"), col(blockCol).as("_blk"),
-        explode(array_distinct(split(col(textCol), " "))).as("w")).persist()
+        explode(array_distinct(split(col(textCol), " "))).as("w"))
     val sizes = words.groupBy("_id").agg(count(lit(1)).as("sz"))
     val l = words.select(col("_id").as("id_a"), col("_blk"), col("w"))
     val r = words.select(col("_id").as("id_b"), col("_blk"), col("w"))

@@ -1,9 +1,10 @@
 package graft.ops
 
 import graft.core.{Flag, TierSpec}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Gap-fill over the fixed (series × bucket) grid + forward-fill.
   *
@@ -13,41 +14,80 @@ import org.apache.spark.sql.functions._
   * appearing as explicit rows flagged `gap=TRUE` and nodata measures
   * (/root/reference/src/vptstools/vpts_csv.py:276; visible in the golden
   * file /root/reference/tests/data/inventory/nosta_vpts_20230311.csv:2-5).
-  * Here the ladder is the tumbling-bucket grid: for every series the
-  * full [minBucket, maxBucket] range is materialized; buckets with no
-  * observation become null-marker rows (`flag=NODATA`, `is_gap=true`).
+  * Here the ladder is the tumbling-bucket grid, in two range flavors:
   *
-  * Plan shape (scale-first):
-  *  - the grid is a single `sequence()` of bucket starts (global range
-  *    — e.g. one year of 5m buckets ≈ 105k rows) — *broadcast* to the
-  *    distinct-series side, so the dense frame is built without
-  *    shuffling the big side twice;
-  *  - the observed rollup joins the dense frame on (series, bucket) —
-  *    a hash join whose build side is the dense keys only;
-  *  - forward-fill is one window (`last(..., ignoreNulls)`) partitioned
-  *    by series, ordered by bucket — a single sort per series partition,
-  *    range-partitioned by Spark's window exchange.
+  *  - [[dense]] — GLOBAL range: every series carries the full
+  *    [min, max] bucket range of the whole table (the strict VPTS-grid
+  *    analog: one shared ladder).
+  *  - [[denseBySeries]] — PER-SERIES range: each series carries only its
+  *    own [first, last] observed range. **This is the 100 TB default**:
+  *    with 10⁶ staggered-lifetime series × a year of 5m buckets, the
+  *    global grid is a 10¹¹-row dense frame that is mostly leading/
+  *    trailing gaps for series not yet alive; the per-series grid is
+  *    proportional to actual series lifetimes.
+  *
+  * Plan shape (both flavors, scale-first): ONE window exchange on the
+  * series key (lag/lead neighbor buckets) + ONE generator — each
+  * observed row emits itself plus the gap buckets since its
+  * predecessor (the last row also emits the trailing gaps, global
+  * flavor only). The input is referenced once; output size equals the
+  * dense frame, so no intermediate ever exceeds the result. No
+  * crossJoin, no self-join, no persist — the global flavor adds only a
+  * broadcast of a 1-row global-bounds aggregate.
   */
 object GapFill {
 
-  /** Dense grid with null-marker rows. Input: a [[Rollup]] tier output
-    * with columns (series…, bucket_epoch, n, …). Output adds
-    * `is_gap: boolean` and `flag: byte` (OK | NODATA).
+  /** Dense GLOBAL-range grid with null-marker rows. Input: a [[Rollup]]
+    * tier output with columns (series…, bucket_epoch, n, …). Output adds
+    * `is_gap: boolean` and `flag: byte` (OK | NODATA). Prefer
+    * [[denseBySeries]] at scale (see class doc).
     */
   def dense(rollup: DataFrame, tier: TierSpec,
-            seriesCol: String = "domain"): DataFrame = {
-    val bounds = rollup.agg(
-      min("bucket_epoch").as("mn"), max("bucket_epoch").as("mx"))
-    val grid = bounds.select(
-      explode(sequence(col("mn"), col("mx"), lit(tier.seconds)))
-        .as("bucket_epoch"))
-    val series = rollup.select(seriesCol).distinct()
-    series
-      .crossJoin(broadcast(grid))
-      .join(rollup, Seq(seriesCol, "bucket_epoch"), "left")
-      .withColumn("is_gap", col("n").isNull)
-      .withColumn("flag",
-        when(col("n").isNull, lit(Flag.NODATA)).otherwise(lit(Flag.OK)))
+            seriesCol: String = "domain"): DataFrame =
+    denseImpl(rollup, tier, seriesCol, global = true)
+
+  /** Dense PER-SERIES-range grid: each series' ladder spans its own
+    * [first, last] observed bucket — the scale-safe default.
+    */
+  def denseBySeries(rollup: DataFrame, tier: TierSpec,
+                    seriesCol: String = "domain"): DataFrame =
+    denseImpl(rollup, tier, seriesCol, global = false)
+
+  private def denseImpl(rollup: DataFrame, tier: TierSpec,
+                        seriesCol: String, global: Boolean): DataFrame = {
+    val step = tier.seconds
+    val measures = rollup.columns.toSeq
+      .filterNot(c => c == seriesCol || c == "bucket_epoch")
+    val w = Window.partitionBy(seriesCol).orderBy("bucket_epoch")
+    val nbrs = rollup
+      .withColumn("_prev", lag(col("bucket_epoch"), 1).over(w))
+      .withColumn("_last", lead(col("bucket_epoch"), 1).over(w).isNull)
+    // grid bounds: global = one broadcast 1-row aggregate; per-series =
+    // the row's own neighborhood (first row starts at itself, last row
+    // emits no trailing gaps)
+    val bounded =
+      if (global)
+        nbrs.crossJoin(broadcast(rollup.agg(
+          min("bucket_epoch").as("_gmn"), max("bucket_epoch").as("_gmx"))))
+      else nbrs.withColumn("_gmn", col("bucket_epoch"))
+               .withColumn("_gmx", col("bucket_epoch"))
+    // buckets this observed row is responsible for: the gaps since its
+    // predecessor (or the grid start), itself, and — for the last row —
+    // the trailing gaps to the grid end
+    val upTo = sequence(coalesce(col("_prev") + step, col("_gmn")),
+                        col("bucket_epoch"), lit(step))
+    val trailing = when(col("_last") && col("_gmx") > col("bucket_epoch"),
+        sequence(col("bucket_epoch") + step, col("_gmx"), lit(step)))
+      .otherwise(lit(Array.empty[Long]).cast(ArrayType(LongType)))
+    val exploded = bounded
+      .withColumn("_bk", explode(concat(upTo, trailing)))
+      .withColumn("is_gap", col("_bk") =!= col("bucket_epoch"))
+    exploded.select(
+      (col(seriesCol) +: col("_bk").as("bucket_epoch") +:
+        measures.map(c => when(!col("is_gap"), col(c)).as(c))) :+
+        col("is_gap") :+
+        when(col("is_gap"), lit(Flag.NODATA)).otherwise(lit(Flag.OK))
+          .as("flag"): _*)
   }
 
   /** Forward-fill the gap-filled frame: carry the last observed value
@@ -82,6 +122,29 @@ object GapFill {
        |       CAST(CASE WHEN obs.n IS NULL THEN ${Flag.NODATA} ELSE ${Flag.OK} END AS TINYINT) AS flag
        |FROM sk CROSS JOIN grid
        |LEFT JOIN obs ON obs.domain = sk.domain AND obs.bucket_epoch = grid.bucket_epoch""".stripMargin
+
+  /** DuckDB oracle for [[denseBySeries]]: the grid is generated from
+    * each series' own [min, max] observed bucket.
+    */
+  def denseBySeriesOracleSql(tier: TierSpec): String =
+    s"""${graft.ingest.WebPages.oracleCte},
+       |obs AS (
+       |  SELECT domain,
+       |         warc_epoch - (warc_epoch % ${tier.seconds}) AS bucket_epoch,
+       |         ${Rollup.oracleMeasures}
+       |  FROM webpages GROUP BY 1, 2
+       |),
+       |grid AS (SELECT domain,
+       |                CAST(unnest(generate_series(mn, mx, ${tier.seconds})) AS BIGINT) AS bucket_epoch
+       |         FROM (SELECT domain, min(bucket_epoch) mn, max(bucket_epoch) mx
+       |               FROM obs GROUP BY domain))
+       |SELECT grid.domain, grid.bucket_epoch,
+       |       obs.n, obs.sum_chars, obs.sum_value_micros,
+       |       obs.min_value_micros, obs.max_value_micros,
+       |       (obs.n IS NULL) AS is_gap,
+       |       CAST(CASE WHEN obs.n IS NULL THEN ${Flag.NODATA} ELSE ${Flag.OK} END AS TINYINT) AS flag
+       |FROM grid
+       |LEFT JOIN obs ON obs.domain = grid.domain AND obs.bucket_epoch = grid.bucket_epoch""".stripMargin
 
   /** DuckDB oracle for [[dense]]∘[[forwardFill]], projecting the filled
     * value stream (the columns the `ts_ffill_*` query returns).

@@ -55,13 +55,40 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
            p.take(800))
   }
 
-  test("gap-fill broadcasts the bucket grid, never the series side") {
-    val r = Rollup.fromRaw(WebPages.load(spark, sfDir), TierSpec.T1d).persist()
-    try {
-      val p = plan(GapFill.dense(r, TierSpec.T1d))
-      assert(p.contains("BroadcastNestedLoopJoin") ||
-             p.contains("BroadcastExchange"), p.take(800))
-    } finally r.unpersist()
+  test("gap-fill is one window exchange + one generator; only the 1-row bounds broadcast") {
+    val r = Rollup.fromRaw(WebPages.load(spark, sfDir), TierSpec.T1d)
+    // global flavor: the sole join is the broadcast of the 1-row global
+    // bounds aggregate; the dense frame is GENERATED, never built by a
+    // series × grid crossJoin
+    val pg = plan(GapFill.dense(r, TierSpec.T1d))
+    assert(pg.contains("Generate"), pg.take(800))
+    assert(pg.contains("BroadcastNestedLoopJoin") ||
+           pg.contains("BroadcastExchange"), pg.take(800))
+    assert(!pg.contains("SortMergeJoin") && !pg.contains("ShuffledHashJoin"),
+           pg.take(800))
+    // per-series flavor (the 100 TB default): gap-fill itself adds NO
+    // join of any kind — one window exchange, one generator (the only
+    // join in the plan is the rollup input's own dimension broadcast)
+    val joins = (s: String) => "Join".r.findAllIn(s).size
+    val ps = plan(GapFill.denseBySeries(r, TierSpec.T1d))
+    assert(ps.contains("Generate"), ps.take(800))
+    assert(joins(ps) == joins(plan(r)),
+      s"denseBySeries added a join:\n${ps.take(800)}")
+  }
+
+  test("minHashLsh runs the signature pipeline once: reused exchange, no persist") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = Dedup.minHashLsh(docs, "doc_id", "text")
+    df.collect() // finalize AQE plan (exchange reuse is physical)
+    val p = plan(df)
+    // both self-join sides read ONE exchange of the band stream — the
+    // expensive shingling + seeded-md5 map work is below it and runs once
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+           p.take(1200))
+    // no persist leaks into the caller's session (other suites may
+    // cache their own data on the shared session, so assert on THIS
+    // plan, not on global persistent-RDD state)
+    assert(!p.contains("InMemoryTableScan"), p.take(1200))
   }
 
   test("whole-stage codegen covers the rollup pipeline") {
