@@ -2,7 +2,7 @@ package graft
 
 import graft.core.TierSpec
 import graft.ingest.WebPages
-import graft.ops.{Dedup, GapFill, Multimodal, Rollup, Similarity, Sketches, TextStats}
+import graft.ops.{Decontaminate, Dedup, GapFill, Multimodal, Rollup, Sampling, Similarity, Sketches, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -252,6 +252,73 @@ object Queries {
            |FROM s2
            |WHERE doc_id = keep_id
            |  AND quality_milli >= 300 AND lang_pred <> 'und'""".stripMargin)),
+
+    // Stratified quota sampling AFTER the curation filter: per
+    // (lang, quality band) deterministic hash-threshold sampling to a
+    // target mixture — the step between "filtered pool" and "training
+    // mix". Pure narrow filter on top of corpus_filter's plan (no new
+    // shuffle); quotas compiled to a CASE, reproducible across runs and
+    // cluster sizes.
+    "corpus_sample" -> QueryDef(
+      run = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val stats = TextStats.stats(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        val filtered = stats
+          .withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy("fp_md5")))
+          .filter(col("doc_id") === col("keep_id") &&
+            col("quality_milli") >= 300L && col("lang_pred") =!= "und")
+          .withColumn("band",
+            floor(col("quality_milli") / 250L).cast("long"))
+        val quota = least(lit(1000L),
+          (col("band") + 1L) * 100L +
+            Sampling.quotaFor(col("lang_pred"), Seq("en" -> 0L), 300L))
+        Sampling.stratifiedHash(filtered, "doc_id", quota)
+          .select("doc_id", "lang_pred", "quality_milli", "band", "n_tokens")
+      },
+      oracle = Some {
+        val quotaSql = Sampling.quotaForSql("lang_pred", Seq("en" -> 0L), 300L)
+        s"""$docsCte,
+           |s AS (
+           |  SELECT doc_id,
+           |         ${graft.functions.Portable.tokenCountSql("text")} AS n_tokens,
+           |         ${TextStats.langIdSql("text").replace("\n", "\n         ")} AS lang_pred,
+           |         ${TextStats.qualityMilliSql("text").replace("\n", "\n         ")} AS quality_milli,
+           |         md5(lower(text)) AS fp
+           |  FROM docs
+           |),
+           |s2 AS (
+           |  SELECT s.*, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM s
+           |),
+           |f AS (
+           |  SELECT doc_id, lang_pred, quality_milli, n_tokens,
+           |         quality_milli // 250 AS band
+           |  FROM s2
+           |  WHERE doc_id = keep_id
+           |    AND quality_milli >= 300 AND lang_pred <> 'und'
+           |)
+           |SELECT doc_id, lang_pred, quality_milli, band, n_tokens
+           |FROM f
+           |WHERE ${Sampling.samplingKeySql("doc_id")}
+           |      < least(1000, (band + 1) * 100 + $quotaSql)""".stripMargin
+      }),
+
+    // Benchmark decontamination: corpus docs containing ≥60% of a bench
+    // doc's 3-gram shingles. The bench set (tiny) broadcasts; the
+    // corpus streams — never corpus-quadratic.
+    "decontaminate" -> QueryDef(
+      run = (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val bench = docs.filter(col("doc_id") % 50L === 0L)
+          .select(col("doc_id").as("bench_id"), col("text"))
+        Decontaminate.overlap(docs, "doc_id", "text",
+          bench, "bench_id", "text", k = 3, thresholdMilli = 600L)
+      },
+      oracle = Some(Decontaminate.overlapOracleSql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text",
+        "SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 50 = 0",
+        "bench_id", "text", 3, 600L))),
 
     "dedup_exact" -> QueryDef(
       run = (s, dir) => Dedup.exact(pages(s, dir), "url", "text"),

@@ -76,7 +76,7 @@ object Dedup {
     * documents (< k words) produce their single sub-k shingle, matching
     * the oracle's guard.
     */
-  private def shingleSet(df: DataFrame, idCol: String, textCol: String,
+  private[ops] def shingleSet(df: DataFrame, idCol: String, textCol: String,
                          k: Int): DataFrame = {
     if (k <= 1) return wordSet(df, idCol, textCol)
     val w = split(col(textCol), " ")
@@ -88,7 +88,7 @@ object Dedup {
   }
 
   /** DuckDB mirror of [[shingleSet]] as a FROM-able subselect body. */
-  private def shingleSetSql(table: String, idCol: String, textCol: String,
+  private[ops] def shingleSetSql(table: String, idCol: String, textCol: String,
                             k: Int): String =
     if (k <= 1)
       s"SELECT $idCol AS _id, unnest(list_distinct(string_split($textCol, ' '))) AS w FROM $table"

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-curation operators beyond dedup: stratified sampling and
+  * benchmark decontamination.
+  */
+class CurationSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("stratified sample: nested quotas, deterministic, rate tracks the quota") {
+    val n = docs.count()
+    val s200 = Sampling.stratifiedHash(docs, "doc_id", lit(200L))
+    val s500 = Sampling.stratifiedHash(docs, "doc_id", lit(500L))
+    // nested: the 200‰ sample is a strict subset of the 500‰ sample
+    assert(s200.join(s500, Seq("doc_id"), "left_anti").isEmpty)
+    // deterministic: same rows on a repartitioned input
+    val again = Sampling.stratifiedHash(docs.repartition(7), "doc_id", lit(200L))
+    assert(s200.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+    // rate ≈ quota (hash-uniformity; generous tolerance at small n)
+    val rate = s500.count().toDouble / n
+    assert(rate > 0.35 && rate < 0.65, s"500‰ sample rate $rate")
+    // quota 0 and 1000 are exact
+    assert(Sampling.stratifiedHash(docs, "doc_id", lit(0L)).isEmpty)
+    assert(Sampling.stratifiedHash(docs, "doc_id", lit(1000L)).count() == n)
+  }
+
+  test("per-stratum quotas apply independently per stratum") {
+    val quota = Sampling.quotaFor(col("lang"), Seq("en" -> 1000L), 0L)
+    val sampled = Sampling.stratifiedHash(docs, "doc_id", quota)
+    assert(sampled.filter(col("lang") =!= "en").isEmpty)
+    assert(sampled.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("decontaminate: containment semantics — embedded bench doc scores 1000") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "q w e r t y u i o p"),   // fully contains bench doc 10
+      (2L, "q w e r x x x x x x"),   // partial overlap with bench 10
+      (3L, "z z z z z z")            // no overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "q w e r t")).toDF("bench_id", "text")
+    val out = Decontaminate.overlap(corpus, "doc_id", "text",
+        bench, "bench_id", "text", k = 3, thresholdMilli = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // bench shingles: "q w e","w e r","e r t" (3 of them); doc 1 has all
+    // three → 1000; doc 2 has "q w e","w e r" → 666; doc 3 none
+    assert(out == Set((1L, 10L, 1000L), (2L, 10L, 666L)))
+    // threshold gates
+    val gated = Decontaminate.overlap(corpus, "doc_id", "text",
+      bench, "bench_id", "text", k = 3, thresholdMilli = 700L)
+    assert(gated.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("decontaminate plan: bench side broadcasts; corpus never self-joins") {
+    val bench = docs.filter(col("doc_id") % 50L === 0L)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val df = Decontaminate.overlap(docs, "doc_id", "text",
+      bench, "bench_id", "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+}
