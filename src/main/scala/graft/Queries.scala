@@ -401,11 +401,46 @@ object Queries {
       oracle = Some(Similarity.lshTopKOracleSql(
         "embeddings", "vec_id", "embedding", 5, 10L))),
 
+    // Magic-routed feature extraction over a MIXED payload column:
+    // one third real BMPs, one third real PNGs (both synthesized from
+    // known dimensions), one third raw html bytes. BMP/PNG rows must
+    // carry REAL header dimensions; unknown-format rows fall back to
+    // the stub. sha_md5 (md5 of raw bytes) is spec-covered instead of
+    // oracle-gated — DuckDB 1.0 can only md5 VARCHAR, not BLOB.
     "mm_features" -> QueryDef(
-      run = (s, dir) => Multimodal.extractFeatures(pages(s, dir), "event_id", "html"),
-      oracle = Some(Multimodal.oracleSql(
-        WebPages.oracleCte, "webpages", "event_id",
-        "concat('<html><body>', text, '</body></html>')"))),
+      run = (s, dir) => {
+        val payload = when(col("event_id") % 3L === 0L,
+            Multimodal.syntheticBmp((col("event_id") % 1024L) + 1L,
+                                    (col("n_chars") % 512L) + 1L))
+          .when(col("event_id") % 3L === 1L,
+            Multimodal.syntheticPng((col("event_id") % 2048L) + 1L,
+                                    (col("n_chars") % 256L) + 1L))
+          .otherwise(col("html"))
+        Multimodal.extractFeatures(
+            pages(s, dir).withColumn("_pl", payload), "event_id", "_pl")
+          .select("event_id", "byte_len", "width", "height", "n_frames", "kind")
+      },
+      oracle = Some {
+        val html = "concat('<html><body>', text, '</body></html>')"
+        val d = graft.functions.Portable.hash60Sql(html)
+        s"""${WebPages.oracleCte}
+           |SELECT event_id,
+           |       CAST(CASE WHEN event_id % 3 = 0 THEN 30
+           |                 WHEN event_id % 3 = 1 THEN 33
+           |                 ELSE length($html) END AS BIGINT) AS byte_len,
+           |       CAST(CASE WHEN event_id % 3 = 0 THEN event_id % 1024 + 1
+           |                 WHEN event_id % 3 = 1 THEN event_id % 2048 + 1
+           |                 ELSE $d % 1280 END AS BIGINT) AS width,
+           |       CAST(CASE WHEN event_id % 3 = 0 THEN n_chars % 512 + 1
+           |                 WHEN event_id % 3 = 1 THEN n_chars % 256 + 1
+           |                 ELSE ($d // 2048) % 720 END AS BIGINT) AS height,
+           |       CAST(CASE WHEN event_id % 3 IN (0, 1) THEN 1
+           |                 ELSE ($d // 4194304) % 100 END AS BIGINT) AS n_frames,
+           |       CASE WHEN event_id % 3 = 0 THEN 'bmp'
+           |            WHEN event_id % 3 = 1 THEN 'png'
+           |            ELSE 'unknown' END AS kind
+           |FROM webpages""".stripMargin
+      }),
 
     // REAL multimodal decode: BMP header fields parsed from raw
     // little-endian bytes (no media library). Payloads are synthesized
@@ -425,6 +460,26 @@ object Queries {
           |       CAST(doc_id % 1024 + 1 AS BIGINT) AS width,
           |       CAST(n_chars % 512 + 1 AS BIGINT) AS height,
           |       CAST(24 AS BIGINT) AS bpp
+          |FROM documents""".stripMargin)),
+
+    // REAL multimodal decode #2: PNG IHDR fields parsed from raw
+    // big-endian bytes (signature + chunk type verified).
+    "mm_decode_png" -> QueryDef(
+      run = (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val payload = Multimodal.syntheticPng(
+          (col("doc_id") % 4096L) + 1L,
+          (col("n_chars") % 2048L) + 1L)
+        docs.select(col("doc_id"), Multimodal.decodePng(payload).as("h"))
+          .select(col("doc_id"), col("h.width"), col("h.height"),
+                  col("h.bit_depth"), col("h.color_type"))
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |       CAST(doc_id % 4096 + 1 AS BIGINT) AS width,
+          |       CAST(n_chars % 2048 + 1 AS BIGINT) AS height,
+          |       CAST(8 AS BIGINT) AS bit_depth,
+          |       CAST(2 AS BIGINT) AS color_type
           |FROM documents""".stripMargin)),
 
     "text_extract_invariant" -> QueryDef(
@@ -681,7 +736,10 @@ object Queries {
     // Backward as-of join (time-series enrichment Spark lacks as an
     // operator): every page row picks up the latest SPARSE daily
     // rollup (days with n >= 25 only) at or before its timestamp —
-    // DuckDB's native ASOF LEFT JOIN is the oracle.
+    // DuckDB's native ASOF LEFT JOIN is the oracle. The gated form is
+    // the skew-safe two-phase variant (raw-row window per (key, 2-day
+    // bucket); per-key carry over bucket tails only) — spec-pinned
+    // equal to the one-window form.
     "asof_join" -> QueryDef(
       run = (s, dir) => {
         val p = pages(s, dir).select("event_id", "domain", "warc_epoch")
@@ -689,8 +747,9 @@ object Queries {
           .filter(col("n") >= 25)
           .select(col("domain"), col("bucket_epoch"),
             col("n").as("day_n"), col("sum_value_micros").as("day_sum"))
-        graft.ops.AsofJoin.backward(
-          p, sparse, Seq("domain"), "warc_epoch", "bucket_epoch")
+        graft.ops.AsofJoin.backwardBucketed(
+          p, sparse, Seq("domain"), "warc_epoch", "bucket_epoch",
+          bucketSeconds = 2L * 86400L)
       },
       oracle = Some(
         s"""${WebPages.oracleCte},

@@ -170,6 +170,37 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Join"), plan.take(600))
   }
 
+  test("bucketed as-of join equals the one-window form at any bucket width") {
+    import spark.implicits._
+    val left = Seq(("a", 5L, 1), ("a", 10L, 2), ("a", 15L, 3),
+                   ("a", 25L, 4), ("a", 95L, 5), ("b", 100L, 6))
+      .toDF("k", "t", "row_id")
+    val right = Seq(("a", 10L, "x1"), ("a", 20L, "x2"))
+      .toDF("k", "rt", "payload")
+    val base = AsofJoin.backward(left, right, Seq("k"), "t", "rt")
+    // widths that split buckets mid-stream, cross multiple empty buckets
+    // (t=95 carries x2 over buckets 30..90), and degenerate to one bucket
+    for (w <- Seq(7L, 10L, 1000L)) {
+      val b = AsofJoin.backwardBucketed(left, right, Seq("k"), "t", "rt", w)
+      assert(b.exceptAll(base).isEmpty && base.exceptAll(b).isEmpty,
+        s"bucketed(width=$w) != one-window")
+    }
+    // and on real data: the asof_join query inputs
+    val p = WebPages.load(spark, sfDir).select("event_id", "domain", "warc_epoch")
+    val sparse = Rollup.fromRaw(WebPages.load(spark, sfDir), TierSpec.T1d)
+      .filter(col("n") >= 5)
+      .select(col("domain"), col("bucket_epoch"),
+        col("n").as("day_n"), col("sum_value_micros").as("day_sum"))
+    val one = AsofJoin.backward(p, sparse, Seq("domain"), "warc_epoch", "bucket_epoch")
+    val two = AsofJoin.backwardBucketed(
+      p, sparse, Seq("domain"), "warc_epoch", "bucket_epoch", 2L * 86400L)
+    assert(two.exceptAll(one).isEmpty && one.exceptAll(two).isEmpty)
+    // skew contract: the heavy raw-row window partitions by (key, bucket)
+    val plan = two.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(domain[^)]*_bkt".r.findFirstIn(plan).isDefined,
+      plan.take(1200))
+  }
+
   test("range join: containment semantics, equi-join plan (no nested loop)") {
     import spark.implicits._
     val left = Seq(("a", 5L, 1), ("a", 15L, 2), ("a", 25L, 3),
@@ -206,6 +237,52 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
                   Array[Byte](0x42, 0x4D)).toDF("p")
     assert(bad.select(Multimodal.decodeBmp(col("p")).as("d"))
       .filter(col("d").isNotNull).isEmpty)
+  }
+
+  test("PNG IHDR decode: big-endian parse round-trips; bad signature yields null") {
+    import spark.implicits._
+    // multi-byte values pin the big-endian byte order
+    val df = Seq((1L, 66051L, 16909060L), (2L, 1L, 1L)).toDF("id", "w", "h")
+    val dec = df.select(col("id"),
+        Multimodal.decodePng(Multimodal.syntheticPng(col("w"), col("h"))).as("d"))
+      .orderBy("id").collect()
+    assert(dec(0).getStruct(1).getLong(0) == 66051L)
+    assert(dec(0).getStruct(1).getLong(1) == 16909060L)
+    assert(dec(0).getStruct(1).getLong(2) == 8L)   // bit depth
+    assert(dec(0).getStruct(1).getLong(3) == 2L)   // color type (truecolor)
+    assert(dec(1).getStruct(1).getLong(0) == 1L)
+    // a BMP payload and a truncated signature are not PNGs
+    val notPng = df.select(
+      Multimodal.decodePng(Multimodal.syntheticBmp(col("w"), col("h"))).as("d"))
+    assert(notPng.filter(col("d").isNotNull).isEmpty)
+  }
+
+  test("extractFeatures routes by magic: real dims for BMP/PNG, stub only for unknown") {
+    import spark.implicits._
+    val df = Seq((1L, "bmp"), (2L, "png"), (3L, "txt")).toDF("id", "k")
+      .withColumn("payload",
+        when(col("k") === "bmp", Multimodal.syntheticBmp(lit(640L), lit(480L)))
+          .when(col("k") === "png", Multimodal.syntheticPng(lit(800L), lit(600L)))
+          .otherwise(encode(lit("hello world"), "UTF-8")))
+    val out = Multimodal.extractFeatures(df, "id", "payload")
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("kind") == "bmp" &&
+      out(0).getAs[Long]("width") == 640L && out(0).getAs[Long]("height") == 480L &&
+      out(0).getAs[Long]("n_frames") == 1L)
+    assert(out(1).getAs[String]("kind") == "png" &&
+      out(1).getAs[Long]("width") == 800L && out(1).getAs[Long]("height") == 600L)
+    assert(out(2).getAs[String]("kind") == "unknown" &&
+      out(2).getAs[Long]("width") < 1280L)
+    // the byte digest is md5 of the raw payload (spec-covered; the
+    // oracle can't md5 blobs in DuckDB 1.0)
+    val digest = df.select(md5(col("payload")).as("m"), col("id"))
+      .orderBy("id").collect().map(_.getString(0))
+    assert(out.map(_.getAs[String]("sha_md5")).sameElements(digest))
+    // a top-down (negative-height) BMP reports the |pixel-row| count
+    val topDown = Seq(1L).toDF("id").withColumn("payload",
+      Multimodal.syntheticBmp(lit(10L), lit(4294967291L))) // -5 as uint32
+    val f = Multimodal.extractFeatures(topDown, "id", "payload").head()
+    assert(f.getAs[Long]("height") == 5L)
   }
 
   test("BMP biHeight is signed: a top-down BMP decodes to its negative height") {
