@@ -330,6 +330,23 @@ object Queries {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
       oracle = Some(Dedup.minHashLshOracleSql(docsCte, "docs", "doc_id", "text"))),
 
+    // Incremental cross-snapshot dedup: two ingests through the band
+    // tier table must produce EXACTLY the pair set of the full-corpus
+    // batch run (the oracle is the same SQL that gates dedup_minhash) —
+    // per-increment work is O(increment), and the corpus band stream is
+    // never shuffled (broadcast semi-join on the increment's buckets).
+    "dedup_incremental" -> QueryDef(
+      run = (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-incdedup").toString
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val d = new graft.ops.IncrementalDedup(s, root)
+        d.ingest(docs.filter(col("doc_id") % 2L === 0L), "doc_id", "text")
+        d.ingest(docs.filter(col("doc_id") % 2L === 1L), "doc_id", "text")
+        d.pairs()
+      },
+      oracle = Some(Dedup.minHashLshOracleSql(docsCte, "docs", "doc_id", "text"))),
+
     "dedup_simhash" -> QueryDef(
       run = (s, dir) => Dedup.simHash(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),

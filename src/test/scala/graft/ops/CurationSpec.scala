@@ -55,6 +55,50 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(gated.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("incremental dedup converges to the batch run, any split, pairs disjoint per ingest") {
+    val batch = Dedup.minHashLsh(docs, "doc_id", "text")
+      .orderBy("id_a", "id_b").collect().toSeq
+
+    // two different split shapes: even/odd and a 3-way chronological-ish
+    val splits: Seq[Seq[org.apache.spark.sql.DataFrame]] = Seq(
+      Seq(docs.filter(col("doc_id") % 2L === 0L),
+          docs.filter(col("doc_id") % 2L === 1L)),
+      Seq(docs.filter(col("doc_id") < 150L),
+          docs.filter(col("doc_id") >= 150L && col("doc_id") < 300L),
+          docs.filter(col("doc_id") >= 300L)))
+    for ((increments, i) <- splits.zipWithIndex) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-incdedup-spec$i").toString
+      val d = new IncrementalDedup(spark, root)
+      val perIngest = increments.map(inc =>
+        d.ingest(inc, "doc_id", "text").collect().map(_.toString).toSet)
+      // per-ingest pair sets are DISJOINT (each pair discovered exactly
+      // once, at its later member's ingest)
+      for (Seq(a, b) <- perIngest.combinations(2))
+        assert((a intersect b).isEmpty, s"split $i: overlapping ingest pair sets")
+      // and their union equals the batch run
+      val inc = d.pairs().orderBy("id_a", "id_b").collect().toSeq
+      assert(inc == batch, s"split $i: incremental != batch " +
+        s"(${inc.size} vs ${batch.size} pairs)")
+    }
+  }
+
+  test("incremental dedup plan: corpus band table is filtered by a broadcast, not shuffled") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-plan").toString
+    val d = new IncrementalDedup(spark, root)
+    d.ingest(docs.filter(col("doc_id") % 2L === 0L), "doc_id", "text")
+    // capture the pairing plan of a second ingest by reproducing its
+    // read path: corpus ⋈ broadcast(increment buckets)
+    val inc = d.corpusBands().filter(col("ingest_seq") === 0L)
+    val touched = d.corpusBands()
+      .join(broadcast(inc.select("band", "band_hash").distinct()),
+            Seq("band", "band_hash"))
+    val p = touched.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("decontaminate plan: bench side broadcasts; corpus never self-joins") {
     val bench = docs.filter(col("doc_id") % 50L === 0L)
       .select(col("doc_id").as("bench_id"), col("text"))
