@@ -62,11 +62,16 @@ object Bench {
     */
   val benchQueries: Seq[String] = Seq(
     "wp_base", "ts_rollup_5m", "ts_rollup_1h", "ts_rollup_1d",
-    "ts_rollup_30d", "ts_rollup_flags_1h", "ts_gapfill_1h", "ts_ffill_1h",
+    "ts_rollup_30d", "ts_rollup_flags_1h", "ts_gapfill_1h",
+    "ts_gapfill_series_1h", "ts_ffill_1h", "asof_join",
     "gorilla_roundtrip", "profile_explode", "dedup_exact", "dedup_minhash",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_lsh",
-    "corpus_filter", "text_stats", "ann_topk", "ann_lsh_topk",
-    "ann_ivf_topk", "mm_features")
+    "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_embedding_lsh", "corpus_filter", "corpus_sample", "decontaminate",
+    "text_stats", "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "mm_features")
+  // dedup_incremental and tier_incremental are deliberately NOT bench
+  // keys: both are lifecycle ops dominated by scratch-table commits
+  // (parquet write+read round-trips), not scan/shuffle throughput —
+  // they are correctness-gated in Verify instead.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
