@@ -63,7 +63,8 @@ object Bench {
   val benchQueries: Seq[String] = Seq(
     "wp_base", "ts_rollup_5m", "ts_rollup_1h", "ts_rollup_1d",
     "ts_rollup_30d", "ts_rollup_flags_1h", "ts_gapfill_1h",
-    "ts_gapfill_series_1h", "ts_ffill_1h", "asof_join",
+    "ts_gapfill_series_1h", "ts_ffill_1h", "ts_interp_1h", "ts_sessionize",
+    "asof_join",
     "gorilla_roundtrip", "profile_explode", "dedup_exact", "dedup_minhash",
     "dedup_simhash", "dedup_simhash_pairs",
     "dedup_embedding_lsh", "corpus_filter", "corpus_sample", "decontaminate",

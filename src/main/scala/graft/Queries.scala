@@ -204,7 +204,58 @@ object Queries {
           Rollup.fromRaw(pages(s, dir), TierSpec.T5m), TierSpec.T1h),
           TierSpec.T1h))
         .select("domain", "bucket_epoch", "is_gap", "ffill_value"),
-      oracle = Some(GapFill.ffillOracleSql(TierSpec.T1h)))
+      oracle = Some(GapFill.ffillOracleSql(TierSpec.T1h))),
+
+    // Linear interpolation across gaps (integer micros, IEEE-identical
+    // ratio on both engines); leading/trailing gaps stay null.
+    "ts_interp_1h" -> QueryDef(
+      run = (s, dir) => GapFill.interpolate(GapFill.dense(Rollup.cascade(
+          Rollup.fromRaw(pages(s, dir), TierSpec.T5m), TierSpec.T1h),
+          TierSpec.T1h))
+        .select("domain", "bucket_epoch", "is_gap", "interp_value"),
+      oracle = Some(GapFill.interpOracleSql(TierSpec.T1h))),
+
+    // Gap-based sessionization: one window + running sum, per-session
+    // stats — 30-minute inactivity gap over the events stream.
+    "ts_sessionize" -> QueryDef(
+      run = (s, dir) => graft.ops.Sessionize.stats(
+        s.read.parquet(s"$dir/events.parquet").select(
+          col("user_id"),
+          unix_timestamp(col("ts")).as("t_epoch"),
+          col("event_id")),
+        "user_id", "t_epoch", "event_id", gapSeconds = 1800L),
+      oracle = Some(graft.ops.Sessionize.statsOracleSql(
+        """SELECT user_id,
+          |       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t_epoch,
+          |       event_id
+          |FROM events""".stripMargin,
+        "user_id", "t_epoch", "event_id", 1800L))),
+
+    // Forward as-of join: each page row picks up the NEXT daily rollup
+    // at or after its timestamp (the correction/late-rollup lookup).
+    "asof_join_forward" -> QueryDef(
+      run = (s, dir) => {
+        val p = pages(s, dir).select("event_id", "domain", "warc_epoch")
+        val sparse = Rollup.fromRaw(pages(s, dir), TierSpec.T1d)
+          .filter(col("n") >= 25)
+          .select(col("domain"), col("bucket_epoch"),
+            col("n").as("day_n"), col("sum_value_micros").as("day_sum"))
+        graft.ops.AsofJoin.forward(
+          p, sparse, Seq("domain"), "warc_epoch", "bucket_epoch")
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte},
+           |r1d AS (
+           |  SELECT domain,
+           |         warc_epoch - (warc_epoch % 86400) AS bucket_epoch,
+           |         CAST(count(*) AS BIGINT) AS day_n,
+           |         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS day_sum
+           |  FROM webpages GROUP BY 1, 2
+           |  HAVING count(*) >= 25
+           |)
+           |SELECT w.event_id, w.domain, w.warc_epoch, r.day_n, r.day_sum
+           |FROM webpages w ASOF LEFT JOIN r1d r
+           |  ON w.domain = r.domain AND w.warc_epoch <= r.bucket_epoch""".stripMargin))
   )
 
   // ---------------------------------------------------------------------

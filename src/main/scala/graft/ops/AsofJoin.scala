@@ -92,6 +92,23 @@ object AsofJoin {
             leftCols, payload)
   }
 
+  /** Forward as-of join: for every left row, the single right row with
+    * the SMALLEST `rightTime >= leftTime` per key (inclusive) — "the
+    * next completed rollup / correction after this event". Same
+    * one-window composition as [[backward]] with time order reversed.
+    */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              leftTime: String, rightTime: String): DataFrame = {
+    val (both, leftCols, payload) =
+      unioned(left, right, keyCols, leftTime, rightTime)
+    // descending time; right rows still first at equal time → inclusive
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t").desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    project(both, last(col("_r"), ignoreNulls = true).over(w),
+            leftCols, payload)
+  }
+
   /** Skew-safe two-phase form of [[backward]]: identical results, but
     * the raw-row window partitions by (key, `bucketSeconds` bucket) and
     * only the per-bucket tails flow through the per-key carry window —

@@ -101,14 +101,18 @@ object Dedup {
          |FROM (SELECT $idCol, string_split($textCol, ' ') AS w FROM $table)""".stripMargin
     }
 
-  /** MinHash signatures: numHashes min-aggregates over seeded hashes of
-    * the distinct shingle set. Output: (_id, h0 … h{n-1}).
+  /** MinHash signatures: numHashes min-aggregates over the affine
+    * permutation family applied to ONE base hash per distinct shingle
+    * (`Portable.minHashBase`/`affine`) — the per-shingle map cost is a
+    * single md5 + numHashes integer ops, not numHashes md5s. Output:
+    * (_id, h0 … h{n-1}).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleK: Int = 3): DataFrame = {
     val words = shingleSet(df, idCol, textCol, shingleK)
+      .withColumn("_h", Portable.minHashBase(col("w")))
     val aggs = (0 until numHashes).map(i =>
-      min(Portable.hashSeeded(i, col("w"))).as(s"h$i"))
+      min(Portable.affine(i, col("_h"))).as(s"h$i"))
     words.groupBy(col("_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -200,7 +204,7 @@ object Dedup {
                           maxBucket: Int = 1000): String = {
     val r = numHashes / bands
     val minAggs = (0 until numHashes)
-      .map(i => s"min(${Portable.hashSeededSql(i, "w")}) AS h$i")
+      .map(i => s"min(${Portable.affineSql(i, "wh")}) AS h$i")
       .mkString(",\n         ")
     val bandSelects = (0 until bands).map { b =>
       val slice = (0 until r).map(j => s"CAST(h${b * r + j} AS VARCHAR)")
@@ -213,7 +217,8 @@ object Dedup {
        |sigs AS (
        |  SELECT _id,
        |         $minAggs
-       |  FROM words GROUP BY _id
+       |  FROM (SELECT _id, ${Portable.minHashBaseSql("w")} AS wh FROM words)
+       |  GROUP BY _id
        |),
        |bands AS (
        |  $bandSelects

@@ -103,6 +103,81 @@ object GapFill {
       .withColumn("filled", col("is_gap") && col("ffill_value").isNotNull)
   }
 
+  /** Linear interpolation across gaps: each gap row takes
+    * `prev + floor((next − prev) · (t − pt) / (nt − pt))` from its
+    * nearest observed neighbors per series; leading/trailing gaps (no
+    * neighbor on one side) stay null; observed rows keep their value.
+    * One exchange + one sort feed both neighbor windows. The ratio is
+    * evaluated in IEEE double on both engines in the same operation
+    * order (exact while |next−prev|·gap < 2^53 — micros × tier widths
+    * stay far below that).
+    */
+  def interpolate(denseDf: DataFrame, valueCol: String = "sum_value_micros",
+                  seriesCol: String = "domain"): DataFrame = {
+    val obs = when(!col("is_gap"), col(valueCol))
+    val obsT = when(!col("is_gap"), col("bucket_epoch"))
+    val wPrev = Window.partitionBy(seriesCol).orderBy("bucket_epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(seriesCol).orderBy("bucket_epoch")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withNbrs = denseDf
+      .withColumn("_pv", last(obs, ignoreNulls = true).over(wPrev))
+      .withColumn("_pt", last(obsT, ignoreNulls = true).over(wPrev))
+      .withColumn("_nv", first(obs, ignoreNulls = true).over(wNext))
+      .withColumn("_nt", first(obsT, ignoreNulls = true).over(wNext))
+    withNbrs
+      .withColumn("interp_value",
+        when(!col("is_gap"), col(valueCol))
+          .otherwise(col("_pv") + floor(
+            (col("_nv") - col("_pv")).cast("double")
+              * (col("bucket_epoch") - col("_pt"))
+              / (col("_nt") - col("_pt"))).cast("long")))
+      .drop("_pv", "_pt", "_nv", "_nt")
+  }
+
+  /** DuckDB oracle for [[dense]]∘[[interpolate]] at one tier (the
+    * columns the `ts_interp_*` query returns).
+    */
+  def interpOracleSql(tier: TierSpec): String =
+    s"""${graft.ingest.WebPages.oracleCte},
+       |obs AS (
+       |  SELECT domain,
+       |         warc_epoch - (warc_epoch % ${tier.seconds}) AS bucket_epoch,
+       |         ${Rollup.oracleMeasures}
+       |  FROM webpages GROUP BY 1, 2
+       |),
+       |grid AS (SELECT CAST(unnest(generate_series(mn, mx, ${tier.seconds})) AS BIGINT) AS bucket_epoch
+       |         FROM (SELECT min(bucket_epoch) mn, max(bucket_epoch) mx FROM obs)),
+       |sk AS (SELECT DISTINCT domain FROM obs),
+       |dense AS (
+       |  SELECT sk.domain, grid.bucket_epoch, obs.sum_value_micros AS v,
+       |         (obs.n IS NULL) AS is_gap
+       |  FROM sk CROSS JOIN grid
+       |  LEFT JOIN obs ON obs.domain = sk.domain AND obs.bucket_epoch = grid.bucket_epoch
+       |),
+       |nbrs AS (
+       |  SELECT domain, bucket_epoch, v, is_gap,
+       |         last_value(v IGNORE NULLS) OVER (
+       |           PARTITION BY domain ORDER BY bucket_epoch
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |         last_value(CASE WHEN NOT is_gap THEN bucket_epoch END IGNORE NULLS) OVER (
+       |           PARTITION BY domain ORDER BY bucket_epoch
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+       |         first_value(v IGNORE NULLS) OVER (
+       |           PARTITION BY domain ORDER BY bucket_epoch
+       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+       |         first_value(CASE WHEN NOT is_gap THEN bucket_epoch END IGNORE NULLS) OVER (
+       |           PARTITION BY domain ORDER BY bucket_epoch
+       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+       |  FROM dense
+       |)
+       |SELECT domain, bucket_epoch, is_gap,
+       |       CAST(CASE WHEN NOT is_gap THEN v
+       |                 ELSE pv + CAST(floor(CAST(nv - pv AS DOUBLE)
+       |                                * (bucket_epoch - pt) / (nt - pt)) AS BIGINT)
+       |            END AS BIGINT) AS interp_value
+       |FROM nbrs""".stripMargin
+
   /** DuckDB oracle for [[dense]] over the webpages CTE at one tier. */
   def denseOracleSql(tier: TierSpec): String =
     s"""${graft.ingest.WebPages.oracleCte},

@@ -170,6 +170,60 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Join"), plan.take(600))
   }
 
+  test("interpolation: linear between neighbors, exact at observed, null at edges") {
+    import spark.implicits._
+    // series "a": observed v=0 @ t=0 and v=300 @ t=30 with 10s buckets
+    val dense = Seq(
+      ("a", 0L,  Some(0L),   false),
+      ("a", 10L, None,       true),
+      ("a", 20L, None,       true),
+      ("a", 30L, Some(300L), false),
+      ("a", 40L, None,       true),   // trailing gap
+      ("b", 0L,  None,       true),   // leading gap
+      ("b", 10L, Some(7L),   false))
+      .toDF("domain", "bucket_epoch", "sum_value_micros", "is_gap")
+    val out = GapFill.interpolate(dense)
+      .orderBy("domain", "bucket_epoch")
+      .collect().map(r => Option(r.getAs[java.lang.Long]("interp_value")).map(_.toLong))
+    assert(out.toSeq == Seq(Some(0L), Some(100L), Some(200L), Some(300L),
+      None, None, Some(7L)))
+  }
+
+  test("sessionization: gap splits, tie rows share a session, stats exact") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 0L, 10L), (1L, 100L, 11L), (1L, 100L, 12L), // ties share
+      (1L, 2000L, 13L),                                 // 1900 > 1800 → new
+      (1L, 3000L, 14L),                                 // 1000 ≤ 1800 → same
+      (2L, 5L, 20L))
+      .toDF("user_id", "t_epoch", "event_id")
+    val out = Sessionize.stats(ev, "user_id", "t_epoch", "event_id", 1800L)
+      .orderBy("user_id", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 0L, 100L, 100L),
+      (1L, 2L, 2L, 2000L, 3000L, 1000L),
+      (2L, 1L, 1L, 5L, 5L, 0L)))
+    // one window exchange, no join
+    val p = Sessionize.assign(ev, "user_id", "t_epoch", "event_id", 1800L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(600))
+  }
+
+  test("forward as-of join: inclusive next match, trailing nulls") {
+    import spark.implicits._
+    val left = Seq(("a", 5L, 1), ("a", 10L, 2), ("a", 15L, 3),
+                   ("a", 25L, 4), ("b", 100L, 5))
+      .toDF("k", "t", "row_id")
+    val right = Seq(("a", 10L, "x1"), ("a", 20L, "x2"))
+      .toDF("k", "rt", "payload")
+    val out = AsofJoin.forward(left, right, Seq("k"), "t", "rt")
+      .orderBy("row_id").collect()
+    assert(out.map(r => Option(r.getString(3)).orNull).toSeq ==
+      Seq("x1", "x1", "x2", null, null))
+  }
+
   test("bucketed as-of join equals the one-window form at any bucket width") {
     import spark.implicits._
     val left = Seq(("a", 5L, 1), ("a", 10L, 2), ("a", 15L, 3),

@@ -77,6 +77,10 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("minHashLsh runs the signature pipeline once: reused exchange, no persist") {
+    // other suites on the shared session may have cached this parquet;
+    // the CacheManager would substitute their InMemoryRelation into OUR
+    // plan and fake a persist — drop session caches first
+    spark.catalog.clearCache()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = Dedup.minHashLsh(docs, "doc_id", "text")
     df.collect() // finalize AQE plan (exchange reuse is physical)
