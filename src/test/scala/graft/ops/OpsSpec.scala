@@ -362,6 +362,28 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(got == Set((1, 10L)))
   }
 
+  test("batched (per-partition) decode matches the Column stub bit-for-bit; no shuffle") {
+    val in = pages.select(col("event_id"), col("html"))
+      .filter(col("event_id") % 50L === 0L) // narrow row subset (limit() would add an exchange)
+    val batched = BatchDecode.decodePartitioned(in, "event_id", "html")
+    val columnar = in.select(col("event_id"),
+        Multimodal.stubDecode(col("html")).as("f"))
+      .select(col("event_id"), col("f.byte_len"), col("f.sha_md5"),
+              col("f.width"), col("f.height"), col("f.n_frames"))
+    assert(batched.exceptAll(columnar).isEmpty &&
+           columnar.exceptAll(batched).isEmpty)
+    // narrow: mapPartitions adds no SHUFFLE (the input subtree's own
+    // dimension BroadcastExchange is allowed)
+    val p = batched.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning") &&
+           !p.contains("Exchange rangepartitioning") &&
+           !p.contains("Exchange SinglePartition"), p.take(600))
+    // frame sampling: even spacing, bounds respected
+    assert(BatchDecode.sampleFrameIndices(10L, 4) == Seq(0L, 2L, 5L, 7L))
+    assert(BatchDecode.sampleFrameIndices(3L, 4) == Seq(0L, 1L, 2L))
+    assert(BatchDecode.sampleFrameIndices(0L, 4).isEmpty)
+  }
+
   test("web-pages per-row invariant: text extracted from html is byte-identical") {
     assert(pages.filter(
       WebPages.extractText(col("html")) =!= col("text")).isEmpty)
