@@ -381,6 +381,21 @@ object Queries {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
       oracle = Some(Dedup.minHashLshOracleSql(docsCte, "docs", "doc_id", "text"))),
 
+    // Duplicate clusters from LSH pairs: iterative min-label connected
+    // components (pointer-jumped, fixpoint-detected) — cluster_id is
+    // the component min, i.e. the canonical keep id. Oracle: DuckDB
+    // recursive-CTE reachability closure over the same pair SQL.
+    "dedup_clusters" -> QueryDef(
+      run = (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.ops.Components.connected(
+            Dedup.minHashLsh(docs, "doc_id", "text"), "id_a", "id_b")
+          .withColumnRenamed("v", "doc_id")
+      },
+      oracle = Some(graft.ops.Components.connectedOracleSql(
+        Dedup.minHashLshOracleSql(docsCte, "docs", "doc_id", "text"),
+        "id_a", "id_b", vName = "doc_id"))),
+
     // Incremental cross-snapshot dedup: two ingests through the band
     // tier table must produce EXACTLY the pair set of the full-corpus
     // batch run (the oracle is the same SQL that gates dedup_minhash) —

@@ -99,6 +99,25 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("connected components: chains, cliques, isolated pairs — min-id labels") {
+    import spark.implicits._
+    // a 40-node chain (worst case for plain propagation — pointer
+    // jumping must converge well under maxIter=25 rounds), a clique,
+    // an isolated pair, and a self-loop
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val clique = Seq((100L, 101L), (100L, 102L), (101L, 102L))
+    val rest = Seq((200L, 201L), (300L, 300L))
+    val pairs = (chain ++ clique ++ rest).toDF("id_a", "id_b")
+    val got = Components.connected(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 40L).foreach(v => assert(got(v) == 1L, s"chain node $v"))
+    Seq(100L, 101L, 102L).foreach(v => assert(got(v) == 100L))
+    assert(got(200L) == 200L && got(201L) == 200L && got(300L) == 300L)
+    // no persist leaks out of the operator
+    assert(spark.sparkContext.getPersistentRDDs.values
+      .forall(r => !Option(r.name).exists(_.contains("edges"))))
+  }
+
   test("decontaminate plan: bench side broadcasts; corpus never self-joins") {
     val bench = docs.filter(col("doc_id") % 50L === 0L)
       .select(col("doc_id").as("bench_id"), col("text"))
