@@ -135,6 +135,44 @@ object Queries {
            |       TRUE AS within_5pct
            |FROM webpages GROUP BY 1, 2""".stripMargin)),
 
+    // Mergeable QUANTILE sketch tier (KLL): per-bucket p50/p95 of the
+    // value stream, cascaded 1h→1d by sketch-MERGE (not re-scan) — the
+    // quantile analog of the HLL tier. Gate: the estimates are actual
+    // bucket elements whose rank sits within a ±10% band of the target
+    // (KLL k=200 rank error ≈1.7%; exact while buckets fit the buffer).
+    "ts_quantile_1d" -> QueryDef(
+      run = (s, dir) => {
+        val p = pages(s, dir)
+          .withColumn("value_micros", Rollup.micros(col("value")))
+        val est = Sketches.quantEstimated(
+          Sketches.quantCascade(
+            Sketches.quantFromRaw(p, TierSpec.T1h), TierSpec.T1d))
+        val raw = p.select(col("domain"),
+          Rollup.bucket(col("warc_epoch"), TierSpec.T1d), col("value_micros"))
+        def rankOk(r: org.apache.spark.sql.Column, q: Double) =
+          r >= floor(col("n") * (q - 0.10)) - 1 &&
+          r <= ceil(col("n") * (q + 0.10)) + 1
+        raw.join(est, Seq("domain", "bucket_epoch"))
+          .groupBy("domain", "bucket_epoch", "n", "p50", "p95")
+          .agg(
+            sum(when(col("value_micros") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+            sum(when(col("value_micros") <= col("p95"), 1L).otherwise(0L)).as("r95"),
+            max(when(col("value_micros") === col("p50"), 1L).otherwise(0L)).as("e50"),
+            max(when(col("value_micros") === col("p95"), 1L).otherwise(0L)).as("e95"))
+          .select(col("domain"), col("bucket_epoch"), col("n"),
+            rankOk(col("r50"), 0.5).as("p50_ok"),
+            rankOk(col("r95"), 0.95).as("p95_ok"),
+            (col("e50") === 1L && col("e95") === 1L).as("quantiles_are_elements"))
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       warc_epoch - (warc_epoch % ${TierSpec.T1d.seconds}) AS bucket_epoch,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       TRUE AS p50_ok, TRUE AS p95_ok,
+           |       TRUE AS quantiles_are_elements
+           |FROM webpages GROUP BY 1, 2""".stripMargin)),
+
     // Downsample: derived per-bucket mean in exact integer micros
     // (floor(sum/n) — order-insensitive, engine-identical).
     "ts_downsample_1h" -> QueryDef(

@@ -39,4 +39,41 @@ object Sketches {
   def estimated(tierDf: DataFrame): DataFrame =
     tierDf.withColumn("distinct_est", hll_sketch_estimate(col("key_hll")))
       .drop("key_hll")
+
+  // ------------------------------------------------------------------
+  // Mergeable QUANTILE tier (Apache DataSketches KLL via Spark 4's
+  // kll_sketch_agg_bigint / kll_merge_agg_bigint): per-bucket value
+  // distributions that cascade losslessly — the coarser tier MERGES
+  // the finer tier's sketches instead of re-scanning raw rows, the
+  // same continuous-aggregate shape as the HLL tier. A plain
+  // percentile number cannot re-aggregate; the sketch can.
+  // ------------------------------------------------------------------
+
+  /** Finest tier with a KLL sketch of `valueCol` (bigint) per bucket. */
+  def quantFromRaw(pages: DataFrame, tier: TierSpec,
+                   valueCol: String = "value_micros",
+                   seriesCols: Seq[String] = Seq("domain")): DataFrame =
+    pages
+      .groupBy(seriesCols.map(col) :+ Rollup.bucket(col("warc_epoch"), tier): _*)
+      .agg(expr(s"kll_sketch_agg_bigint($valueCol)").as("val_kll"),
+           count(lit(1)).as("n"))
+
+  /** Coarser tier: merge of the finer tier's KLL sketches. */
+  def quantCascade(finer: DataFrame, tier: TierSpec,
+                   seriesCols: Seq[String] = Seq("domain")): DataFrame =
+    finer
+      .groupBy(seriesCols.map(col) :+ Rollup.bucket(col("bucket_epoch"), tier): _*)
+      .agg(expr("kll_merge_agg_bigint(val_kll)").as("val_kll"),
+           sum(col("n")).as("n"))
+
+  /** Materialize quantile estimates (actual elements of the bucket —
+    * KLL is a rank sketch, exact while the bucket fits the sketch's
+    * buffer, ~1.7% rank error beyond).
+    */
+  def quantEstimated(tierDf: DataFrame,
+                     qs: Seq[(String, Double)] = Seq("p50" -> 0.5,
+                                                     "p95" -> 0.95)): DataFrame =
+    qs.foldLeft(tierDf) { case (df, (name, q)) =>
+      df.withColumn(name, expr(s"kll_sketch_get_quantile_bigint(val_kll, $q)"))
+    }.drop("val_kll")
 }

@@ -25,6 +25,29 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
            direct.exceptAll(cascaded).isEmpty)
   }
 
+  test("KLL quantile tier: merged estimates exact for buffer-sized buckets, elements always") {
+    val p = pages.withColumn("value_micros", Rollup.micros(col("value")))
+    val merged = Sketches.quantEstimated(
+      Sketches.quantCascade(Sketches.quantFromRaw(p, TierSpec.T1h), TierSpec.T1d))
+    // exact discrete quantiles per (domain, day) for comparison
+    val exact = p
+      .groupBy(col("domain"), Rollup.bucket(col("warc_epoch"), TierSpec.T1d))
+      .agg(count(lit(1)).as("n_exact"),
+           expr("percentile_approx(value_micros, 0.5, 100000)").as("x50"),
+           collect_list(col("value_micros")).as("vals"))
+    val j = merged.join(exact, Seq("domain", "bucket_epoch"))
+    // a KLL sketch of ≤ k=200 values retains them all: p50 must be the
+    // exact discrete median for small buckets (most of sf0.001's days)
+    val smallBad = j.filter(col("n") <= 200 && col("p50") =!= col("x50"))
+    assert(smallBad.isEmpty, "merged KLL p50 != exact for buffer-sized buckets")
+    assert(j.filter(col("n") <= 200).count() > 0, "property unexercised")
+    // estimates are ELEMENTS of the bucket (rank sketch, not interpolation)
+    assert(j.filter(!array_contains(col("vals"), col("p50")) ||
+                    !array_contains(col("vals"), col("p95"))).isEmpty)
+    // counts survive the cascade
+    assert(j.filter(col("n") =!= col("n_exact")).isEmpty)
+  }
+
   test("estimates are within 5% of exact distinct counts") {
     val est = Sketches.estimated(Sketches.fromRaw(pages, TierSpec.T1d))
     val exact = pages
