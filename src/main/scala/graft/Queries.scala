@@ -419,6 +419,68 @@ object Queries {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
       oracle = Some(Dedup.minHashLshOracleSql(docsCte, "docs", "doc_id", "text"))),
 
+    // The FULL curation pipeline in one query — what "produce the
+    // training set" actually runs: exact-dup canonical (fp window) ∧
+    // near-dup CLUSTER canonical (LSH pairs → connected components;
+    // keep only the component min) ∧ quality floor ∧ confident
+    // language ∧ stratified quota sample. Everything but the bounded
+    // component iteration is one declarative plan.
+    "corpus_pipeline" -> QueryDef(
+      run = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val clusters = graft.ops.Components.connected(
+            Dedup.minHashLsh(docs, "doc_id", "text"), "id_a", "id_b")
+          .withColumnRenamed("v", "doc_id")
+        val filtered = TextStats.stats(docs, "doc_id", "text")
+          .withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy("fp_md5")))
+          .filter(col("doc_id") === col("keep_id") &&
+            col("quality_milli") >= 300L && col("lang_pred") =!= "und")
+          .join(clusters, Seq("doc_id"), "left")
+          .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .withColumn("band",
+            floor(col("quality_milli") / 250L).cast("long"))
+        val quota = least(lit(1000L),
+          (col("band") + 1L) * 100L +
+            Sampling.quotaFor(col("lang_pred"), Seq("en" -> 0L), 300L))
+        Sampling.stratifiedHash(filtered, "doc_id", quota)
+          .select("doc_id", "lang_pred", "quality_milli", "band", "n_tokens")
+      },
+      oracle = Some {
+        val quotaSql = Sampling.quotaForSql("lang_pred", Seq("en" -> 0L), 300L)
+        val clustersSql = graft.ops.Components.connectedOracleSql(
+          Dedup.minHashLshOracleSql(docsCte, "docs", "doc_id", "text"),
+          "id_a", "id_b", vName = "doc_id")
+        s"""$docsCte,
+           |clusters AS (
+           |  ${clustersSql.replace("\n", "\n  ")}
+           |),
+           |s AS (
+           |  SELECT doc_id,
+           |         ${graft.functions.Portable.tokenCountSql("text")} AS n_tokens,
+           |         ${TextStats.langIdSql("text").replace("\n", "\n         ")} AS lang_pred,
+           |         ${TextStats.qualityMilliSql("text").replace("\n", "\n         ")} AS quality_milli,
+           |         md5(lower(text)) AS fp
+           |  FROM docs
+           |),
+           |s2 AS (
+           |  SELECT s.*, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM s
+           |),
+           |f AS (
+           |  SELECT s2.doc_id, lang_pred, quality_milli, n_tokens,
+           |         quality_milli // 250 AS band
+           |  FROM s2 LEFT JOIN clusters c ON c.doc_id = s2.doc_id
+           |  WHERE s2.doc_id = keep_id
+           |    AND quality_milli >= 300 AND lang_pred <> 'und'
+           |    AND (c.cluster_id IS NULL OR c.cluster_id = s2.doc_id)
+           |)
+           |SELECT doc_id, lang_pred, quality_milli, band, n_tokens
+           |FROM f
+           |WHERE ${Sampling.samplingKeySql("doc_id")}
+           |      < least(1000, (band + 1) * 100 + $quotaSql)""".stripMargin
+      }),
+
     // Duplicate clusters from LSH pairs: iterative min-label connected
     // components (pointer-jumped, fixpoint-detected) — cluster_id is
     // the component min, i.e. the canonical keep id. Oracle: DuckDB
