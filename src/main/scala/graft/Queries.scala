@@ -253,15 +253,25 @@ object Queries {
         .select("domain", "bucket_epoch", "is_gap", "interp_value"),
       oracle = Some(GapFill.interpOracleSql(TierSpec.T1h))),
 
-    // Gap-based sessionization: one window + running sum, per-session
-    // stats — 30-minute inactivity gap over the events stream.
+    // Gap-based sessionization, 30-minute inactivity gap over the
+    // events stream. The gated form runs the skew-safe bucketed
+    // variant (raw-row window per (key, 1h bucket); per-key merge over
+    // bucket summaries) — spec-pinned equal to the one-window form.
     "ts_sessionize" -> QueryDef(
-      run = (s, dir) => graft.ops.Sessionize.stats(
-        s.read.parquet(s"$dir/events.parquet").select(
+      run = (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet").select(
           col("user_id"),
           unix_timestamp(col("ts")).as("t_epoch"),
-          col("event_id")),
-        "user_id", "t_epoch", "event_id", gapSeconds = 1800L),
+          col("event_id"))
+        graft.ops.Sessionize.assignBucketed(
+            ev, "user_id", "t_epoch", "event_id",
+            gapSeconds = 1800L, bucketSeconds = 3600L)
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("n_events"),
+               min(col("t_epoch")).as("start_epoch"),
+               max(col("t_epoch")).as("end_epoch"))
+          .withColumn("duration_s", col("end_epoch") - col("start_epoch"))
+      },
       oracle = Some(graft.ops.Sessionize.statsOracleSql(
         """SELECT user_id,
           |       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t_epoch,

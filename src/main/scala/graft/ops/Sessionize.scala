@@ -35,6 +35,54 @@ object Sessionize {
       .drop("_new")
   }
 
+  /** Skew-safe two-phase form of [[assign]] — identical `session_seq`
+    * numbering, but the raw-row window partitions by (key, time
+    * bucket), so a Zipf-head key costs one bucket per task, never its
+    * whole stream. Phase 2 runs on the per-bucket SUMMARY stream (one
+    * row per (key, bucket): first/last event time + local session
+    * count): a boundary whose inter-bucket gap is ≤ `gapSeconds`
+    * merges the adjacent sessions, and the global number of a row is
+    * its local number plus (sessions in earlier buckets − merged
+    * boundaries so far) — chains of merges across many narrow buckets
+    * collapse correctly because every merged boundary subtracts one.
+    */
+  def assignBucketed(df: DataFrame, keyCol: String, timeCol: String,
+                     idCol: String, gapSeconds: Long,
+                     bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucket width must be positive")
+    val bucketed = df.withColumn("_bkt",
+      col(timeCol) - pmod(col(timeCol), lit(bucketSeconds)))
+    val w1 = Window.partitionBy(col(keyCol), col("_bkt"))
+      .orderBy(col(timeCol), col(idCol))
+    val prev = lag(col(timeCol), 1).over(w1)
+    val local = bucketed
+      .withColumn("_new",
+        when(prev.isNull || col(timeCol) - prev > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("_ls", sum(col("_new")).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_new")
+    // per-bucket summaries: the TINY phase-2 stream
+    val stats = local.groupBy(col(keyCol), col("_bkt"))
+      .agg(min(col(timeCol)).as("_ft"), max(col(timeCol)).as("_lt"),
+           max(col("_ls")).as("_nl"))
+    val w2 = Window.partitionBy(keyCol).orderBy("_bkt")
+    val prevLast = lag(col("_lt"), 1).over(w2)
+    val offsets = stats
+      .withColumn("_merge",
+        when(prevLast.isNotNull && col("_ft") - prevLast <= gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("_off",
+        coalesce(sum(col("_nl")).over(
+          w2.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          - sum(col("_merge")).over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(keyCol), col("_bkt"), col("_off"))
+    local.join(offsets, Seq(keyCol, "_bkt"))
+      .withColumn("session_seq", col("_ls") + col("_off"))
+      .drop("_bkt", "_ls", "_off")
+  }
+
   /** Per-session stats: bounds, event count, duration. */
   def stats(df: DataFrame, keyCol: String, timeCol: String, idCol: String,
             gapSeconds: Long): DataFrame =

@@ -118,6 +118,34 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       .forall(r => !Option(r.name).exists(_.contains("edges"))))
   }
 
+  test("connected components agree with union-find on random graphs (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val nNodes = 5 + rnd.nextInt(20)
+      val nEdges = 1 + rnd.nextInt(2 * nNodes)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = Components.connected(
+          edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find roots are component minima here (always merge into
+      // the smaller root), so the label maps must be identical
+      assert(got == expected, s"trial $trial: $edges")
+    }
+  }
+
   test("decontaminate plan: bench side broadcasts; corpus never self-joins") {
     val bench = docs.filter(col("doc_id") % 50L === 0L)
       .select(col("doc_id").as("bench_id"), col("text"))
