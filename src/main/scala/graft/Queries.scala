@@ -1100,6 +1100,42 @@ object Queries {
           |FROM events
           |CROSS JOIN (SELECT unnest(generate_series(0, 24)) AS idx) g""".stripMargin)),
 
+    // Z-order layout key: Morton-interleave (url_bucket, day_index) —
+    // the within-partition clustering key for multi-dim file pruning
+    // (Iceberg z-order compaction analog). The query pins the bijection
+    // (deinterleave(z) reproduces both inputs) value-for-value.
+    "zorder_key" -> QueryDef(
+      run = (s, dir) => {
+        import graft.functions.{Portable, ZOrder}
+        // portable bucket (hash60 % 2^16) so the oracle reproduces every
+        // bit; the production layout key uses url_bucket the same way
+        val p = pages(s, dir)
+          .withColumn("xb", Portable.hash60(col("url")) % 65536L)
+          .withColumn("day_index",
+            floor(col("warc_epoch") / 86400L).cast("long") % 65536L)
+        val z = ZOrder.zValue(col("xb"), col("day_index"), 16)
+        p.select(col("event_id"), col("xb"), col("day_index"),
+          z.as("z"),
+          ZOrder.deinterleave(z, 0, 16).as("x_back"),
+          ZOrder.deinterleave(z, 1, 16).as("y_back"))
+      },
+      oracle = Some {
+        import graft.functions.{Portable, ZOrder}
+        val z = ZOrder.zValueSql("xb", "day_index", 16)
+        s"""${WebPages.oracleCte},
+           |wx AS (
+           |  SELECT event_id,
+           |         ${Portable.hash60Sql("url")} % 65536 AS xb,
+           |         (warc_epoch // 86400) % 65536 AS day_index
+           |  FROM webpages
+           |)
+           |SELECT event_id, xb, day_index,
+           |       CAST($z AS BIGINT) AS z,
+           |       CAST(${ZOrder.deinterleaveSql("(" + z + ")", 0, 16)} AS BIGINT) AS x_back,
+           |       CAST(${ZOrder.deinterleaveSql("(" + z + ")", 1, 16)} AS BIGINT) AS y_back
+           |FROM wx""".stripMargin
+      }),
+
     // A5 distinct-set invariant: buckets per series at the 1h tier.
     "distinct_buckets" -> QueryDef(
       run = (s, dir) => Rollup

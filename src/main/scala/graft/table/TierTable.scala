@@ -58,6 +58,23 @@ final class TierTable(val root: String, spark: SparkSession) {
 
   def currentManifest: Option[Manifest] = currentSnapshotId.map(manifest)
 
+  /** Next snapshot id: past EVERY existing manifest, not just the
+    * current one — after [[rollbackTo]], parent+1 would collide with an
+    * abandoned (but still readable) snapshot's manifest.
+    */
+  private def nextSnapshotId: Long = {
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val ids = Using.resource(Files.list(manifests)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("manifest-") =>
+          s.stripPrefix("manifest-").stripSuffix(".json").toLong }
+        .toSeq
+    }
+    if (ids.isEmpty) 0L else ids.max + 1L
+  }
+
   /** Commit a new snapshot overwriting the given partitions.
     * `df` must contain `partitionCol`; only the listed partitions may
     * be present in it. Unlisted partitions are carried forward from
@@ -81,7 +98,7 @@ final class TierTable(val root: String, spark: SparkSession) {
                       lineage: Map[String, PartitionLineage] = Map.empty)
       : Manifest = {
     val parent = currentManifest
-    val snap = parent.map(_.snapshot + 1).getOrElse(0L)
+    val snap = nextSnapshotId
     val stamp = System.currentTimeMillis()
 
     val dataDir = rootPath.resolve(s"data/snap=$snap").toString
@@ -202,7 +219,7 @@ final class TierTable(val root: String, spark: SparkSession) {
       throw new IllegalStateException(s"no snapshot at $root"))
     val (kept, dropped) = parent.partitions.partition { case (k, _) => keep(k) }
     if (dropped.isEmpty) return Set.empty
-    val snap = parent.snapshot + 1
+    val snap = nextSnapshotId
     val m = Manifest(snap, Some(parent.snapshot), System.currentTimeMillis(),
                      parent.partitionCol, kept)
     val tmp = manifests.resolve(s".manifest-$snap.json.tmp")
@@ -214,6 +231,22 @@ final class TierTable(val root: String, spark: SparkSession) {
     Files.move(ctmp, current, StandardCopyOption.ATOMIC_MOVE,
                StandardCopyOption.REPLACE_EXISTING)
     dropped.keySet
+  }
+
+  /** Roll the table back to an earlier snapshot (Iceberg
+    * rollback-to-snapshot analog): CURRENT is atomically repointed; no
+    * data or manifests are touched, so the abandoned snapshots remain
+    * readable until [[expireSnapshots]] reclaims them. Copy-on-write
+    * guarantees the old snapshot's partition directories still exist —
+    * later snapshots only ever ADD directories.
+    */
+  def rollbackTo(snapshot: Long): Unit = {
+    require(Files.exists(manifests.resolve(s"manifest-$snapshot.json")),
+      s"no manifest for snapshot $snapshot at $root")
+    val ctmp = rootPath.resolve(".CURRENT.tmp")
+    Files.writeString(ctmp, snapshot.toString)
+    Files.move(ctmp, current, StandardCopyOption.ATOMIC_MOVE,
+               StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Expire history: keep the `keepLast` most recent snapshots (always
@@ -235,7 +268,12 @@ final class TierTable(val root: String, spark: SparkSession) {
           s.stripPrefix("manifest-").stripSuffix(".json").toLong }
         .toSeq.sorted
     }
-    val (drop, keep) = ids.splitAt(math.max(ids.size - keepLast, 0))
+    // after a rollback the current snapshot may be OLD — it must
+    // survive expiry regardless of recency
+    val cur = currentSnapshotId
+    val (dropRaw, keepRaw) = ids.splitAt(math.max(ids.size - keepLast, 0))
+    val drop = dropRaw.filterNot(cur.contains)
+    val keep = keepRaw ++ dropRaw.filter(cur.contains)
     val referenced: Set[Long] = keep.flatMap(id =>
       manifest(id).partitions.values.collect {
         case p if p.path.nonEmpty =>

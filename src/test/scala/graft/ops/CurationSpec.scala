@@ -146,6 +146,30 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("z-order key: bijective interleave; z-sort clusters both dimensions") {
+    import graft.functions.ZOrder
+    import spark.implicits._
+    val pts = (for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y))
+      .toDF("x", "y")
+    val z = pts.select(col("x"), col("y"),
+      ZOrder.zValue(col("x"), col("y"), 16).as("z"))
+    // bijection: deinterleave inverts exactly
+    assert(z.filter(
+      ZOrder.deinterleave(col("z"), 0, 16) =!= col("x") ||
+      ZOrder.deinterleave(col("z"), 1, 16) =!= col("y")).isEmpty)
+    // locality: split the z-sorted 32×32 grid into 16 equal runs
+    // ("files"); each run must span far less than the full range of
+    // BOTH dimensions (a lexicographic sort spans the full y range in
+    // every x-run) — the property that makes 2-D file pruning work
+    val runs = z.orderBy("z").collect().grouped(64).toSeq
+    val spans = runs.map { r =>
+      val (xs, ys) = (r.map(_.getLong(0)), r.map(_.getLong(1)))
+      (xs.max - xs.min, ys.max - ys.min)
+    }
+    assert(spans.forall { case (sx, sy) => sx <= 8 && sy <= 8 },
+      s"z-runs span too much: $spans")
+  }
+
   test("decontaminate plan: bench side broadcasts; corpus never self-joins") {
     val bench = docs.filter(col("doc_id") % 50L === 0L)
       .select(col("doc_id").as("bench_id"), col("text"))

@@ -304,6 +304,30 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     assert(graft.table.Manifest.fromJson(tm.toJson) == tm)
   }
 
+  test("rollback repoints CURRENT; post-rollback commits never collide; expiry keeps current") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot()
+    val tbl = new graft.table.TierTable(s"$root/t", spark).init()
+    import spark.implicits._
+    def frame(v: Long) = Seq((1L, v), (2L, v)).toDF("day_epoch", "x")
+    tbl.commitOverwrite(frame(10L), "day_epoch") // snap 0
+    tbl.commitOverwrite(frame(20L), "day_epoch") // snap 1
+    tbl.commitOverwrite(frame(30L), "day_epoch") // snap 2
+    tbl.rollbackTo(1L)
+    assert(tbl.currentSnapshotId.contains(1L))
+    assert(tbl.read().select("x").distinct().head().getLong(0) == 20L)
+    // a new commit branches PAST the abandoned snapshot 2
+    val m = tbl.commitOverwrite(frame(40L), "day_epoch")
+    assert(m.snapshot == 3L && m.parent.contains(1L))
+    // roll back again, then expire aggressively: the current (old)
+    // snapshot must survive
+    tbl.rollbackTo(1L)
+    tbl.expireSnapshots(keepLast = 1)
+    assert(tbl.currentSnapshotId.contains(1L))
+    assert(tbl.read().select("x").distinct().head().getLong(0) == 20L)
+    intercept[IllegalArgumentException] { tbl.rollbackTo(99L) }
+  }
+
   test("legacy (unversioned) manifest fails fast at open, never mis-plans") {
     // a pre-v2 manifest has no format field and a data/s<k> layout —
     // opening it must be an explicit error, not spurious diffs or a
