@@ -32,9 +32,12 @@ object VptsGolden {
   val endEpoch = 1704240000L // 2024-01-03T00:00:00Z
 
   def frame(spark: SparkSession, sfDir: String): DataFrame = {
+    // dense() references its input once (plus the 1-row bounds
+    // aggregate) since the generator rewrite — no persist needed, no
+    // cache handle leaks to callers
     val r1h = Rollup.cascadeFlagged(
       Rollup.fromRawFlagged(WebPages.load(spark, sfDir), TierSpec.T5m),
-      TierSpec.T1h).persist()
+      TierSpec.T1h)
     val dense = GapFill.forwardFill(GapFill.dense(r1h, TierSpec.T1h))
       .filter(col("bucket_epoch") < endEpoch)
     // real three-state missingness from the flagged cascade: a grid gap

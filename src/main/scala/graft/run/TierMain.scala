@@ -8,23 +8,34 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * spark-submit --class graft.run.TierMain <jar> \
-  *   <sfDir> <tableRoot> <runId> [watermarkIso]
+  *   <sfDir> <tableRoot> <runId> [watermarkIso] [retentionSpec]
   * }}}
   *
   * Ingests the tier-0 web pages (optionally only rows with
   * `warc_ts >= watermarkIso` — the incremental/modified-since mode,
   * reference `--modified-days-ago` analog), runs the 5m→30d cascade for
   * the touched day partitions, and prints the run's checkpoint manifest
-  * JSON to stdout. Master/executor topology comes from spark-submit —
+  * JSON to stdout. An optional `retentionSpec` ("5m=14,1h=90,1d=730" —
+  * keep-days per tier, unlisted tiers keep everything) applies the
+  * retention ladder after the run (manifest-only expiry + snapshot dir
+  * reclamation). Master/executor topology comes from spark-submit —
   * nothing is hardcoded here, so the same jar runs local[N] or a real
-  * multi-executor cluster.
+  * multi-executor cluster. Pass "-" as watermarkIso to skip it while
+  * giving a retentionSpec.
   */
 object TierMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: TierMain <sfDir> <tableRoot> <runId> [watermarkIso]")
+      "usage: TierMain <sfDir> <tableRoot> <runId> [watermarkIso] [retentionSpec]")
     val Array(sfDir, tableRoot, runId) = args.take(3)
-    val watermark = args.lift(3)
+    val watermark = args.lift(3).filterNot(_ == "-")
+    val retention: Map[graft.core.TierSpec, Int] =
+      args.lift(4).map(_.split(",").map { kv =>
+        val Array(t, d) = kv.split("=")
+        val tier = graft.core.TierSpec.cascade.find(_.name == t).getOrElse(
+          throw new IllegalArgumentException(s"unknown tier in retentionSpec: $t"))
+        tier -> d.toInt
+      }.toMap).getOrElse(Map.empty)
 
     // only stop a session this main created — embedding callers (tests,
     // notebooks) keep theirs
@@ -51,6 +62,11 @@ object TierMain {
     val manifest = runner.run(runId, touched)
     // the run's checkpoint manifest (per-partition lineage + metrics)
     println(manifest.toJson)
+    if (retention.nonEmpty) {
+      val dropped = runner.applyRetention(retention)
+      println(dropped.map { case (t, ks) =>
+        s""""$t":${ks.size}""" }.mkString("{\"retention_dropped\":{", ",", "}}"))
+    }
     if (!preExisting) spark.stop()
   }
 }

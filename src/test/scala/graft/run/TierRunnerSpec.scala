@@ -284,6 +284,16 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     val t1d = new graft.table.TierTable(s"$root/tier_1d", spark)
     assert(t1d.partitionKeys.map(_.toLong).min >= 1705708800L) // 2024-01-20
     assert(t1d.read().count() > 0)
+    // retention arg: a second full run with an aggressive 5m ladder
+    // ("-" watermark = full ingest) ages out old 5m days, keeps 1d
+    val root2 = tmpRoot()
+    TierMain.main(Array(sfDir, root2, "e2e2", "-", "5m=2"))
+    val t5m = new graft.table.TierTable(s"$root2/tier_5m", spark)
+    val t1d2 = new graft.table.TierTable(s"$root2/tier_1d", spark)
+    val keys5 = t5m.partitionKeys.map(_.toLong)
+    assert(keys5.nonEmpty &&
+      keys5.min >= keys5.max - 2L * 86400L, "5m ladder not aged out")
+    assert(t1d2.partitionKeys.size > t5m.partitionKeys.size)
   }
 
   test("manifest records lineage and round-trips through JSON") {
