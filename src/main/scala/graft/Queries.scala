@@ -403,6 +403,48 @@ object Queries {
            |      < least(1000, (band + 1) * 100 + $quotaSql)""".stripMargin
       }),
 
+    // Mixture upsampling: repeat filtered docs per language weight
+    // (en ×2.5, others ×0.7 in expectation) — deterministic fractional
+    // repetition, the "epochs per source" step of mix construction.
+    "corpus_mix" -> QueryDef(
+      run = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val stats = TextStats.stats(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        val filtered = stats
+          .withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy("fp_md5")))
+          .filter(col("doc_id") === col("keep_id") &&
+            col("quality_milli") >= 300L && col("lang_pred") =!= "und")
+        val w = Sampling.quotaFor(col("lang_pred"), Seq("en" -> 2500L), 700L)
+        Sampling.repeatByWeight(filtered, "doc_id", w)
+          .select("doc_id", "lang_pred", "copy_idx")
+      },
+      oracle = Some {
+        val wSql = Sampling.quotaForSql("lang_pred", Seq("en" -> 2500L), 700L)
+        s"""$docsCte,
+           |s AS (
+           |  SELECT doc_id,
+           |         ${TextStats.langIdSql("text").replace("\n", "\n         ")} AS lang_pred,
+           |         ${TextStats.qualityMilliSql("text").replace("\n", "\n         ")} AS quality_milli,
+           |         md5(lower(text)) AS fp
+           |  FROM docs
+           |),
+           |s2 AS (
+           |  SELECT s.*, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM s
+           |),
+           |f AS (
+           |  SELECT doc_id, lang_pred, ($wSql) AS w
+           |  FROM s2
+           |  WHERE doc_id = keep_id
+           |    AND quality_milli >= 300 AND lang_pred <> 'und'
+           |)
+           |SELECT doc_id, lang_pred,
+           |       ${Sampling.repeatByWeightSql("doc_id", "w")
+                      .replace("\n", "\n       ")}
+           |FROM f""".stripMargin
+      }),
+
     // Benchmark decontamination: corpus docs containing ≥60% of a bench
     // doc's 3-gram shingles. The bench set (tiny) broadcasts; the
     // corpus streams — never corpus-quadratic.

@@ -54,4 +54,38 @@ object Sampling {
       .mkString(" ")
     s"CASE $branches ELSE $defaultMilli END"
   }
+
+  /** Mixture upsampling: repeat each row `weightMilli/1000` times in
+    * expectation — `floor` copies always, plus one more iff the row's
+    * hash lands under the fractional part (deterministic fractional
+    * repetition: exactly the id-stable analog of "2.5 epochs of source
+    * X"). Rows with zero copies disappear, so weights < 1000 subsample
+    * and weights > 1000 upsample through ONE operator. `copy_idx`
+    * (1-based) keeps the output row-distinct for downstream shuffles.
+    *
+    * Scale shape: a generator (explode of a ≤⌈w⌉-element sequence) —
+    * map-side row multiplication, no shuffle; the blow-up factor is
+    * exactly the mixture weight, visible in the plan as one Generate.
+    */
+  def repeatByWeight(df: DataFrame, idCol: String,
+                     weightMilli: Column): DataFrame = {
+    val copies = (floor(weightMilli / 1000L).cast("long")
+      + when(samplingKey(col(idCol)) < weightMilli % 1000L, 1L)
+          .otherwise(0L))
+    // sequence(1, 0) would DESCEND ([1,0]) — guard the empty case
+    df.withColumn("_nc", copies)
+      .withColumn("copy_idx",
+        explode(when(col("_nc") >= 1L, sequence(lit(1L), col("_nc")))
+          .otherwise(lit(Array.empty[Long]))))
+      .drop("_nc")
+  }
+
+  def repeatByWeightSql(idExpr: String, weightMilliExpr: String): String =
+    s"""unnest(CASE WHEN ($weightMilliExpr) // 1000
+       |            + (CASE WHEN ${samplingKeySql(idExpr)} < ($weightMilliExpr) % 1000
+       |               THEN 1 ELSE 0 END) >= 1
+       |       THEN generate_series(1, ($weightMilliExpr) // 1000
+       |            + (CASE WHEN ${samplingKeySql(idExpr)} < ($weightMilliExpr) % 1000
+       |               THEN 1 ELSE 0 END))
+       |       ELSE [] END) AS copy_idx""".stripMargin
 }

@@ -28,6 +28,26 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(Sampling.stratifiedHash(docs, "doc_id", lit(1000L)).count() == n)
   }
 
+  test("mixture upsampling: integer weights exact, zero drops, fraction hits expectation") {
+    import spark.implicits._
+    val n = docs.count()
+    // integer weights repeat exactly
+    val x3 = Sampling.repeatByWeight(docs, "doc_id", lit(3000L))
+    assert(x3.count() == 3 * n)
+    assert(x3.groupBy("doc_id").count().filter(col("count") =!= 3L).isEmpty)
+    // zero drops everything; copy_idx is 1..k
+    assert(Sampling.repeatByWeight(docs, "doc_id", lit(0L)).isEmpty)
+    assert(x3.select("copy_idx").distinct().orderBy("copy_idx")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // fractional part lands near expectation (hash-uniform)
+    val x15 = Sampling.repeatByWeight(docs, "doc_id", lit(1500L)).count()
+    assert(x15 > 1.3 * n && x15 < 1.7 * n, s"1.5x weight produced $x15 of $n")
+    // plan: one Generate, no shuffle
+    val p = x3.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), p.take(400))
+    assert(!p.contains("Exchange"), p.take(400))
+  }
+
   test("per-stratum quotas apply independently per stratum") {
     val quota = Sampling.quotaFor(col("lang"), Seq("en" -> 1000L), 0L)
     val sampled = Sampling.stratifiedHash(docs, "doc_id", quota)
