@@ -244,6 +244,56 @@ object Queries {
         .select("domain", "bucket_epoch", "is_gap", "ffill_value"),
       oracle = Some(GapFill.ffillOracleSql(TierSpec.T1h))),
 
+    // PromQL-style counter rate: a synthetic cumulative counter per
+    // user (running sum of |value_micros| wrapped at 10^9 — the wrap IS
+    // a reset) → reset-aware increase per sample → per-bucket increase
+    // + rate. Exercises the reset branch deterministically on both
+    // engines.
+    "ts_rate_1h" -> QueryDef(
+      run = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = s.read.parquet(s"$dir/events.parquet").select(
+          col("user_id"),
+          unix_timestamp(col("ts")).as("t_epoch"),
+          col("event_id"),
+          abs(Rollup.micros(col("value"))).as("vm"))
+        val wc = Window.partitionBy("user_id")
+          .orderBy(col("t_epoch"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val counters = ev.withColumn("counter",
+          sum(col("vm")).over(wc) % 1000000000L)
+        graft.ops.Rate.perBucket(
+          counters, "user_id", "t_epoch", "event_id", "counter",
+          TierSpec.T1h)
+      },
+      oracle = Some(
+        """WITH c AS (
+          |  SELECT user_id,
+          |         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t_epoch,
+          |         event_id,
+          |         sum(abs(CAST(floor(value * 1000000) AS BIGINT))) OVER (
+          |           PARTITION BY user_id
+          |           ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT), event_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           % 1000000000 AS counter
+          |  FROM events
+          |),
+          |inc AS (
+          |  SELECT user_id, t_epoch,
+          |         CASE WHEN lag(counter) OVER w IS NULL THEN 0
+          |              WHEN counter >= lag(counter) OVER w
+          |                THEN counter - lag(counter) OVER w
+          |              ELSE counter END AS increase
+          |  FROM c
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY t_epoch, event_id)
+          |)
+          |SELECT user_id,
+          |       t_epoch - (t_epoch % 3600) AS bucket_epoch,
+          |       CAST(sum(increase) AS BIGINT) AS increase,
+          |       CAST(count(*) AS BIGINT) AS n_samples,
+          |       CAST(sum(increase) * 1000 // 3600 AS BIGINT) AS rate_milli
+          |FROM inc GROUP BY 1, 2""".stripMargin)),
+
     // Linear interpolation across gaps (integer micros, IEEE-identical
     // ratio on both engines); leading/trailing gaps stay null.
     "ts_interp_1h" -> QueryDef(

@@ -211,6 +211,22 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Join"), p.take(600))
   }
 
+  test("counter rate: positive deltas sum, resets contribute post-reset value") {
+    import spark.implicits._
+    // counter: 10 → 25 → 5 (reset) → 8; increases: 0, 15, 5, 3 = 23
+    val ev = Seq((1L, 0L, 1L, 10L), (1L, 10L, 2L, 25L),
+                 (1L, 20L, 3L, 5L), (1L, 30L, 4L, 8L),
+                 (2L, 0L, 5L, 100L)) // single sample: increase 0
+      .toDF("k", "t", "id", "counter")
+    val inc = Rate.counterIncrease(ev, "k", "t", "id", "counter")
+      .orderBy("id").collect().map(_.getAs[Long]("increase"))
+    assert(inc.toSeq == Seq(0L, 15L, 5L, 3L, 0L))
+    val b = Rate.perBucket(ev, "k", "t", "id", "counter", TierSpec.T5m)
+      .filter(col("k") === 1L).head()
+    assert(b.getAs[Long]("increase") == 23L &&
+           b.getAs[Long]("n_samples") == 4L)
+  }
+
   test("bucketed sessionization equals the one-window form at any bucket width") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
