@@ -64,15 +64,17 @@ object Bench {
     "wp_base", "ts_rollup_5m", "ts_rollup_1h", "ts_rollup_1d",
     "ts_rollup_30d", "ts_rollup_flags_1h", "ts_gapfill_1h",
     "ts_gapfill_series_1h", "ts_ffill_1h", "ts_interp_1h", "ts_sessionize",
-    "asof_join",
+    "ts_rate_1h", "asof_join",
     "gorilla_roundtrip", "profile_explode", "dedup_exact", "dedup_minhash",
     "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_embedding_lsh", "corpus_filter", "corpus_sample", "decontaminate",
+    "dedup_embedding_lsh", "corpus_filter", "corpus_sample", "corpus_mix",
+    "decontaminate",
     "text_stats", "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "mm_features")
-  // dedup_incremental and tier_incremental are deliberately NOT bench
-  // keys: both are lifecycle ops dominated by scratch-table commits
-  // (parquet write+read round-trips), not scan/shuffle throughput —
-  // they are correctness-gated in Verify instead.
+  // Deliberately NOT bench keys: dedup_incremental / tier_incremental
+  // (lifecycle ops dominated by scratch-table commit round-trips) and
+  // dedup_clusters / corpus_pipeline (driver-iterated component
+  // convergence — several small jobs, not one plan's throughput). All
+  // four stay correctness-gated in Verify.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
