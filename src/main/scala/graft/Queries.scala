@@ -244,6 +244,31 @@ object Queries {
         .select("domain", "bucket_epoch", "is_gap", "ffill_value"),
       oracle = Some(GapFill.ffillOracleSql(TierSpec.T1h))),
 
+    // Fixed-band histogram tier: per-bucket log2-band value counts,
+    // cascaded 1h→1d by per-band SUM — the EXACT mergeable
+    // distribution aggregate (deterministic, checksum-safe, oracle
+    // value-for-value; the KLL tier is its approximate sibling).
+    "ts_hist_1d" -> QueryDef(
+      run = (s, dir) => {
+        val p = pages(s, dir)
+          .withColumn("value_micros", Rollup.micros(col("value")))
+        Sketches.histCascade(
+          Sketches.histFromRaw(p, TierSpec.T1h, "value_micros", 8),
+          TierSpec.T1d, 8)
+      },
+      oracle = Some {
+        val band = Sketches.histBandSql(
+          "CAST(floor(value * 1000000) AS BIGINT)", 8)
+        val hcols = (0 until 8).map(i =>
+          s"CAST(sum(CASE WHEN $band = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i")
+          .mkString(",\n       ")
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       warc_epoch - (warc_epoch % ${TierSpec.T1d.seconds}) AS bucket_epoch,
+           |       $hcols
+           |FROM webpages GROUP BY 1, 2""".stripMargin
+      }),
+
     // PromQL-style counter rate: a synthetic cumulative counter per
     // user (running sum of |value_micros| wrapped at 10^9 — the wrap IS
     // a reset) → reset-aware increase per sample → per-bucket increase

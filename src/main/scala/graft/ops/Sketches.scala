@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.TierSpec
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch tier columns: approximate distinct counts that
@@ -76,4 +76,46 @@ object Sketches {
     qs.foldLeft(tierDf) { case (df, (name, q)) =>
       df.withColumn(name, expr(s"kll_sketch_get_quantile_bigint(val_kll, $q)"))
     }.drop("val_kll")
+
+  // ------------------------------------------------------------------
+  // Fixed-band HISTOGRAM tier: per-bucket value distributions as K
+  // per-band count columns — the EXACT mergeable aggregate (coarser
+  // tiers SUM the finer tier's band counts; no approximation, no
+  // sketch bytes, deterministic → safe for tier-table checksums and
+  // oracle-checkable value-for-value). Log2 bands: band(v) =
+  // min(floor(log2(1 + max(v,0))) but integer-exact via length of the
+  // binary representation — width of `1 + max(v,0)` in bits, capped.
+  // ------------------------------------------------------------------
+
+  /** Integer-exact log2 band of a non-negative value: the bit-width of
+    * v+1, capped at `bands−1`. Built-ins only (no doubles near band
+    * edges), mirrored exactly in [[histBandSql]].
+    */
+  def histBand(v: Column, bands: Int): Column =
+    least(length(conv((greatest(v, lit(0L)) + 1L).cast("string"), 10, 2)) - 1,
+          lit(bands - 1)).cast("int")
+
+  def histBandSql(expr: String, bands: Int): String =
+    s"least(length(bin(greatest($expr, 0) + 1)) - 1, ${bands - 1})"
+
+  /** Finest tier: K band-count columns per (series, bucket). */
+  def histFromRaw(pages: DataFrame, tier: TierSpec, valueCol: String,
+                  bands: Int, seriesCols: Seq[String] = Seq("domain"))
+      : DataFrame = {
+    val b = histBand(col(valueCol), bands)
+    val aggs = (0 until bands).map(i =>
+      sum(when(b === i, 1L).otherwise(0L)).as(s"h$i"))
+    pages
+      .groupBy(seriesCols.map(col) :+ Rollup.bucket(col("warc_epoch"), tier): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Coarser tier: per-band sums of the finer tier (lossless merge). */
+  def histCascade(finer: DataFrame, tier: TierSpec, bands: Int,
+                  seriesCols: Seq[String] = Seq("domain")): DataFrame = {
+    val aggs = (0 until bands).map(i => sum(col(s"h$i")).as(s"h$i"))
+    finer
+      .groupBy(seriesCols.map(col) :+ Rollup.bucket(col("bucket_epoch"), tier): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -48,6 +48,19 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(j.filter(col("n") =!= col("n_exact")).isEmpty)
   }
 
+  test("histogram tier: cascade equals direct exactly; band counts conserve rows") {
+    val p = pages.withColumn("value_micros", Rollup.micros(col("value")))
+    val direct = Sketches.histFromRaw(p, TierSpec.T1d, "value_micros", 8)
+    val cascaded = Sketches.histCascade(
+      Sketches.histFromRaw(p, TierSpec.T1h, "value_micros", 8),
+      TierSpec.T1d, 8)
+    assert(cascaded.exceptAll(direct).isEmpty &&
+           direct.exceptAll(cascaded).isEmpty)
+    // every row lands in exactly one band
+    val total = (0 until 8).map(i => sum(col(s"h$i"))).reduce(_ + _)
+    assert(direct.agg(total).head().getLong(0) == p.count())
+  }
+
   test("estimates are within 5% of exact distinct counts") {
     val est = Sketches.estimated(Sketches.fromRaw(pages, TierSpec.T1d))
     val exact = pages
