@@ -640,6 +640,26 @@ object Queries {
       },
       oracle = Some(Dedup.minHashLshOracleSql(docsCte, "docs", "doc_id", "text"))),
 
+    // End-to-end incremental dedup: cluster labels derived from the
+    // ACCUMULATED incremental pair table must equal the batch-run
+    // clusters (pairs are much smaller than the corpus, so re-running
+    // components over them per ingest is the O(pairs) closing step of
+    // the incremental story). Oracle = the batch dedup_clusters SQL.
+    "dedup_incremental_clusters" -> QueryDef(
+      run = (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-incclust").toString
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val d = new graft.ops.IncrementalDedup(s, root)
+        d.ingest(docs.filter(col("doc_id") < 250L), "doc_id", "text")
+        d.ingest(docs.filter(col("doc_id") >= 250L), "doc_id", "text")
+        graft.ops.Components.connected(d.pairs(), "id_a", "id_b")
+          .withColumnRenamed("v", "doc_id")
+      },
+      oracle = Some(graft.ops.Components.connectedOracleSql(
+        Dedup.minHashLshOracleSql(docsCte, "docs", "doc_id", "text"),
+        "id_a", "id_b", vName = "doc_id"))),
+
     "dedup_simhash" -> QueryDef(
       run = (s, dir) => Dedup.simHash(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
@@ -791,6 +811,27 @@ object Queries {
           |       CAST(8 AS BIGINT) AS bit_depth,
           |       CAST(2 AS BIGINT) AS color_type
           |FROM documents""".stripMargin)),
+
+    // The BATCHED (mapPartitions, one-decoder-per-partition) decode
+    // path, fully oracle-gated: the stub decoder recomputes md5-derived
+    // pseudo-metadata in plain JVM code, and for text payloads the
+    // DuckDB mirror reproduces every byte-derived field — so even the
+    // non-SQL mapPartitions plumbing gets a value-for-value gate.
+    "mm_batch_decode" -> QueryDef(
+      run = (s, dir) => graft.ops.BatchDecode.decodePartitioned(
+        pages(s, dir), "event_id", "html"),
+      oracle = Some {
+        val html = "concat('<html><body>', text, '</body></html>')"
+        val d = graft.functions.Portable.hash60Sql(html)
+        s"""${WebPages.oracleCte}
+           |SELECT event_id,
+           |       CAST(length($html) AS BIGINT) AS byte_len,
+           |       md5($html) AS sha_md5,
+           |       CAST($d % 1280 AS BIGINT) AS width,
+           |       CAST(($d // 2048) % 720 AS BIGINT) AS height,
+           |       CAST(($d // 4194304) % 100 AS BIGINT) AS n_frames
+           |FROM webpages""".stripMargin
+      }),
 
     "text_extract_invariant" -> QueryDef(
       // Byte-identical text per url: compare text re-extracted from the
