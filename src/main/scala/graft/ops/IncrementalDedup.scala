@@ -49,14 +49,32 @@ final class IncrementalDedup(spark: SparkSession, root: String,
   /** Ingest one increment; returns the NEW near-dup candidate pairs it
     * introduces (id_a < id_b, distinct), already recorded in the pair
     * table under this ingest's sequence number.
+    *
+    * Replay-safe (the I5 contract [[graft.run.TierRunner.ingest]]
+    * keeps for raw days, applied here): ids already present in the
+    * band table are dropped from the increment BEFORE the signature
+    * work, so re-running a crashed or duplicated ingest is a no-op —
+    * no duplicate band rows, no re-emitted pairs. The known-id check
+    * is a narrow id-column scan of the band table semi-joined against
+    * the broadcast increment ids (never a corpus shuffle).
     */
   def ingest(increment: DataFrame, idCol: String, textCol: String): DataFrame = {
     val seq = bandTable.currentSnapshotId.map(_ + 1).getOrElse(0L)
 
+    val fresh =
+      if (seq == 0L) increment
+      else {
+        val knownIds = bandTable.read()
+          .join(broadcast(increment.select(col(idCol).as("_id")).distinct()),
+                Seq("_id"))
+          .select(col("_id").as(idCol)).distinct()
+        increment.join(knownIds, Seq(idCol), "left_anti")
+      }
+
     // 1+2: increment bands, committed as this ingest's partition (the
     // expensive signature map work runs once, into the commit)
     val newBands = Dedup.lshBands(
-        Dedup.minHashSignatures(increment, idCol, textCol, numHashes, shingleK),
+        Dedup.minHashSignatures(fresh, idCol, textCol, numHashes, shingleK),
         numHashes, bands)
       .withColumn("ingest_seq", lit(seq))
     bandTable.commitOverwrite(newBands, "ingest_seq",

@@ -103,6 +103,26 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("incremental dedup ingest replay is idempotent (I5): no duplicate bands or pairs") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-replay").toString
+    val d = new IncrementalDedup(spark, root)
+    val inc1 = docs.filter(col("doc_id") % 2L === 0L)
+    d.ingest(inc1, "doc_id", "text")
+    val before = d.pairs().collect().map(_.toString).toSet
+    val bandsBefore = d.corpusBands().count()
+    // replay the SAME increment (crash-then-retry): must be a no-op
+    val replay = d.ingest(inc1, "doc_id", "text")
+    assert(replay.isEmpty, "replayed ingest emitted pairs")
+    assert(d.corpusBands().count() == bandsBefore, "replay duplicated bands")
+    assert(d.pairs().collect().map(_.toString).toSet == before)
+    // and the pipeline still converges after the real second increment
+    d.ingest(docs.filter(col("doc_id") % 2L === 1L), "doc_id", "text")
+    val batch = Dedup.minHashLsh(docs, "doc_id", "text")
+    assert(d.pairs().exceptAll(batch).isEmpty &&
+           batch.exceptAll(d.pairs()).isEmpty)
+  }
+
   test("incremental dedup plan: corpus band table is filtered by a broadcast, not shuffled") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-incdedup-plan").toString

@@ -157,6 +157,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"bucketed join must not shuffle:\n${p.take(800)}")
   }
 
+  test("top-k per series pushes a PARTIAL WindowGroupLimit below the exchange") {
+    // rank<=k over a window must shrink map output to k rows per
+    // (partition, key) BEFORE the shuffle — the built-in skew guard for
+    // top-k; without it a Zipf-head series ships its whole stream
+    val df = graft.SparkEntry.queries("topk_per_series")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert("WindowGroupLimit[^\n]*Partial".r.findFirstIn(p).isDefined,
+      p.take(1200))
+  }
+
   test("salted rollup phase 1 keys include the salt (skew spread)") {
     val o = optimized(Rollup.fromRawSalted(
       WebPages.load(spark, sfDir), TierSpec.T1h, saltBuckets = 8))
