@@ -478,6 +478,32 @@ object Queries {
            |      < least(1000, (band + 1) * 100 + $quotaSql)""".stripMargin
       }),
 
+    // Exact-count quota sampling: precisely min(k, |stratum|) docs per
+    // language by stable hash rank — the deterministic complement of
+    // corpus_sample's in-expectation thresholds; plans as a PARTIAL
+    // WindowGroupLimit (map output shrinks to k per stratum pre-shuffle).
+    "corpus_sample_exact" -> QueryDef(
+      run = (s, dir) => Sampling.exactQuota(
+          TextStats.stats(s.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", "text"),
+          Seq("lang_pred"), "doc_id", k = 40)
+        .select("doc_id", "lang_pred", "n_tokens"),
+      oracle = Some(
+        s"""$docsCte,
+           |s AS (
+           |  SELECT doc_id,
+           |         ${graft.functions.Portable.tokenCountSql("text")} AS n_tokens,
+           |         ${TextStats.langIdSql("text").replace("\n", "\n         ")} AS lang_pred
+           |  FROM docs
+           |),
+           |r AS (
+           |  SELECT s.*, row_number() OVER (
+           |           PARTITION BY lang_pred
+           |           ORDER BY ${Sampling.samplingKeySql("doc_id")}, doc_id) AS rk
+           |  FROM s
+           |)
+           |SELECT doc_id, lang_pred, n_tokens FROM r WHERE rk <= 40""".stripMargin)),
+
     // Mixture upsampling: repeat filtered docs per language weight
     // (en ×2.5, others ×0.7 in expectation) — deterministic fractional
     // repetition, the "epochs per source" step of mix construction.

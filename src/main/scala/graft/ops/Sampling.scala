@@ -55,6 +55,25 @@ object Sampling {
     s"CASE $branches ELSE $defaultMilli END"
   }
 
+  /** EXACT-count quota sampling: keep precisely `min(k, |stratum|)`
+    * rows per stratum — the deterministic complement of the
+    * hash-threshold sampler (which hits quotas in expectation). Rows
+    * are ranked within their stratum by (id-hash, id) — a stable
+    * pseudo-random order — and the rank filter plans as a PARTIAL
+    * WindowGroupLimit: map output shrinks to k rows per (split,
+    * stratum) BEFORE the exchange, so exact quotas cost one small
+    * shuffle even at corpus scale.
+    */
+  def exactQuota(df: DataFrame, strataCols: Seq[String], idCol: String,
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(samplingKey(col(idCol)), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Mixture upsampling: repeat each row `weightMilli/1000` times in
     * expectation — `floor` copies always, plus one more iff the row's
     * hash lands under the fractional part (deterministic fractional

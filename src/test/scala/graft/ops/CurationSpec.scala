@@ -28,6 +28,25 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(Sampling.stratifiedHash(docs, "doc_id", lit(1000L)).count() == n)
   }
 
+  test("exact quota: precisely min(k,|stratum|) per stratum; partial group-limit plan") {
+    val q = Sampling.exactQuota(docs, Seq("lang"), "doc_id", 30)
+    val sizes = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (l, n) =>
+      assert(got(l) == math.min(30L, n), s"stratum $l: ${got(l)}")
+    }
+    // deterministic under repartition
+    val again = Sampling.exactQuota(docs.repartition(5), Seq("lang"), "doc_id", 30)
+    assert(q.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+    // rank filter becomes a partial group-limit below the exchange
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit[^\n]*Partial".r.findFirstIn(p).isDefined,
+      p.take(1000))
+  }
+
   test("mixture upsampling: integer weights exact, zero drops, fraction hits expectation") {
     import spark.implicits._
     val n = docs.count()
