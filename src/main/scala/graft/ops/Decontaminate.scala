@@ -41,8 +41,9 @@ object Decontaminate {
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("_inter"))
       .join(broadcast(bSizes), Seq("bench_id"))
-      .withColumn("overlap_milli",
-        floor(col("_inter") * 1000L / col("_bsz")).cast("long"))
+      // integer DIV mirrors the oracle's `//` exactly (double `/` under
+      // floor is bit-exact only below 2^53)
+      .withColumn("overlap_milli", expr("(_inter * 1000) DIV _bsz"))
       .filter(col("overlap_milli") >= thresholdMilli)
       .select("doc_id", "bench_id", "overlap_milli")
   }

@@ -37,6 +37,9 @@ object Rate {
       .groupBy(col(keyCol), Rollup.bucket(col(timeCol), tier))
       .agg(sum(col("increase")).as("increase"),
            count(lit(1)).as("n_samples"))
+      // integer DIV, not floor(double /): `/` on longs is double
+      // division and loses bits above 2^53, so a >~9e12 bucket
+      // increase would diverge from the oracle's integer `//`
       .withColumn("rate_milli",
-        floor(col("increase") * 1000L / tier.seconds).cast("long"))
+        expr(s"(increase * 1000) DIV ${tier.seconds}"))
 }

@@ -49,8 +49,11 @@ object Sampling {
 
   def quotaForSql(stratumExpr: String, quotas: Seq[(String, Long)],
                   defaultMilli: Long): String = {
+    // SQL-escape embedded quotes (a stratum value like "it's" must not
+    // produce malformed oracle SQL)
     val branches = quotas
-      .map { case (k, q) => s"WHEN $stratumExpr = '$k' THEN $q" }
+      .map { case (k, q) =>
+        s"WHEN $stratumExpr = '${k.replace("'", "''")}' THEN $q" }
       .mkString(" ")
     s"CASE $branches ELSE $defaultMilli END"
   }

@@ -299,22 +299,39 @@ object Similarity {
     * probe reads ~nprobe/nlist of the corpus (partition pruning),
     * where LSH reads hash-scattered buckets.
     *
-    * Centroids are the deterministic sample `id % centroidStep == 0`
-    * (a production deployment would k-means-train them; training is
-    * orthogonal to the query plumbing, and a deterministic quantizer
-    * is what makes the DuckDB oracle reproduce list assignment
-    * bit-for-bit). Affinity is nano-quantized cosine with centroid-id
+    * Centroids are a FIXED-COUNT deterministic sample: the `nlist`
+    * corpus vectors ranking first by (hash60(id), id) — |centroids| is
+    * a constant knob independent of corpus size, so the centroid
+    * broadcast and the per-vector argmax stay O(n·nlist) at any scale
+    * (the round-3 `id % step` sampler grew the centroid set linearly
+    * with the corpus — a scale-killer). The top-nlist scan plans as
+    * TakeOrderedAndProject (per-partition top-k, no global sort), and
+    * the same rank is a one-line CTE in DuckDB, so list assignment
+    * reproduces bit-for-bit. A production deployment would optionally
+    * k-means-refine these seeds; training is orthogonal to the query
+    * plumbing. Affinity is nano-quantized cosine with centroid-id
     * tie-break, so argmax is engine-portable.
     */
+  /** The bounded coarse-quantizer codebook: exactly `min(nlist, |corpus|)`
+    * seed vectors, chosen by (hash60(id), id) rank. Exposed so specs can
+    * pin |centroids| == nlist at any corpus size.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int): DataFrame =
+    corpus.select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("centv"))
+      .withColumn("centn", norm(col("centv")))
+      .withColumn("_h", Portable.hash60(col("cent_id").cast("string")))
+      .orderBy(col("_h"), col("cent_id"))
+      .limit(nlist)
+      .drop("_h")
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, centroidStep: Long = 20L,
+              vecCol: String, k: Int, nlist: Int = 16,
               nprobe: Int = 3): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val cents = c.filter(col("neighbor_id") % centroidStep === 0)
-      .select(col("neighbor_id").as("cent_id"), col("cv").as("centv"),
-              col("cn").as("centn"))
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
     def nearest(df: DataFrame, vec: String, nrm: String, idc: String,
                 keep: Int): DataFrame = {
       val w = Window.partitionBy(idc)
@@ -347,7 +364,7 @@ object Similarity {
 
   /** DuckDB oracle for [[ivfTopK]] with `queries = id < maxQueryId`. */
   def ivfTopKOracleSql(table: String, idCol: String, vecCol: String,
-                       k: Int, maxQueryId: Long, centroidStep: Long = 20L,
+                       k: Int, maxQueryId: Long, nlist: Int = 16,
                        nprobe: Int = 3): String =
     s"""WITH base AS (
        |  SELECT $idCol AS id, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS v,
@@ -357,7 +374,8 @@ object Similarity {
        |),
        |cents AS (
        |  SELECT id AS cent_id, v AS centv, nrm AS centn FROM base
-       |  WHERE id % $centroidStep = 0
+       |  ORDER BY ${graft.functions.Portable.hash60Sql("CAST(id AS VARCHAR)")}, id
+       |  LIMIT $nlist
        |),
        |aff AS (
        |  SELECT base.id, cents.cent_id,

@@ -126,18 +126,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     approx.unpersist()
   }
 
-  test("IVF ANN: probes cover the corpus partition-pruned; recall measured") {
-    val queries = emb.filter(col("vec_id") < 20)
-    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
-      .select("query_id", "neighbor_id").cache()
-    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
-                                 centroidStep = 20L, nprobe = 6).cache()
-    val hit = exact.join(ivf.select("query_id", "neighbor_id"),
-                         Seq("query_id", "neighbor_id"), "left_semi").count()
-    val recall = hit.toDouble / exact.count()
-    assert(recall > 0.4, f"IVF recall $recall%.2f too low for nprobe=6/25 lists")
-    assert(ivf.filter(col("rank") < 1 || col("rank") > 5).isEmpty)
-    exact.unpersist(); ivf.unpersist()
+  test("IVF ANN: bounded nlist at two corpus sizes, recall holds at both") {
+    // |centroids| is a CONSTANT knob: the same nlist at 1x and 2x the
+    // corpus (round-3's id%step sampler grew it linearly — the flagged
+    // scale-killer), and recall does not silently degrade with growth.
+    val nlist = 16
+    val bigger = emb.unionByName(
+      emb.withColumn("vec_id", col("vec_id") + 1000000L))
+    for (corpus <- Seq(emb, bigger)) {
+      val nCents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+                                           nlist).count()
+      assert(nCents == nlist,
+        s"|centroids| $nCents != nlist $nlist at corpus ${corpus.count()}")
+      val queries = corpus.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(corpus, queries,
+          "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id").cache()
+      val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5,
+                                   nlist = nlist, nprobe = 6).cache()
+      val hit = exact.join(ivf.select("query_id", "neighbor_id"),
+                           Seq("query_id", "neighbor_id"), "left_semi").count()
+      val recall = hit.toDouble / exact.count()
+      assert(recall > 0.4,
+        f"IVF recall $recall%.2f too low for nprobe=6/$nlist%d lists")
+      assert(ivf.filter(col("rank") < 1 || col("rank") > 5).isEmpty)
+      exact.unpersist(); ivf.unpersist()
+    }
   }
 
   test("native dot product is bit-identical to the built-in fold it replaces") {
