@@ -4,6 +4,7 @@ import graft.table.{PartitionLineage, TierTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Incremental cross-snapshot near-duplicate detection — the composition
   * a continuous-ingest corpus actually runs: instead of re-running
@@ -15,25 +16,54 @@ import org.apache.spark.sql.functions._
   *  1. computes signatures + bands for the INCREMENT only (the O(n)
   *     expensive map work: shingling + seeded md5s),
   *  2. commits them as a new `ingest_seq` partition (copy-on-write —
-  *     prior ingests' bands are carried forward untouched),
-  *  3. generates exactly the NEW pairs: increment ids × (corpus ∪
-  *     increment) ids sharing a band bucket — every pair is discovered
-  *     at the ingest of its LATER member, so per-ingest pair sets are
-  *     disjoint and their union converges to the full-corpus
-  *     [[Dedup.minHashLsh]] run (oracle-gated),
-  *  4. records the pairs per snapshot in a second table (lineage: which
-  *     band snapshot produced them).
+  *     prior ingests' bands are carried forward untouched), with the
+  *     increment's id-range recorded in the partition lineage,
+  *  3. generates exactly the NEW pair witnesses: (bucket, id_a, id_b)
+  *     rows where the later member arrived this ingest — every witness
+  *     is discovered at the ingest of its LATER member, so per-ingest
+  *     witness sets are disjoint,
+  *  4. records the witnesses per snapshot in a second table (lineage:
+  *     which band snapshot produced them).
   *
-  * Scale shape: the corpus band table is NEVER shuffled — corpus rows
-  * are pre-filtered to the increment's buckets by a BROADCAST semi-join
-  * on the increment's distinct (band, band_hash) keys (an increment of
-  * n docs touches ≤ n·bands buckets), so the only exchange carries
-  * bucket-matching rows, bounded by increment-buckets × bucket size.
-  * The skew cap applies to the CUMULATIVE bucket size at pairing time
-  * (a bucket that outgrows `maxBucket` stops producing new pairs; pairs
-  * emitted while it was small are kept — the cap is monotone under
-  * increments). At warehouse scale, store the band table bucketed by
-  * band_hash so the per-ingest join is also co-located on disk.
+  * Convergence contract (EXACT, cap included): [[pairs]] re-filters the
+  * recorded witnesses by the CURRENT cumulative bucket size, so its
+  * result equals the full-corpus batch [[Dedup.minHashLsh]] run even
+  * when a bucket crosses `maxBucket` mid-stream — batch drops an
+  * over-cap bucket's pairs entirely, and so does the final filter here
+  * (witnesses emitted while the bucket was small are recorded but
+  * masked once it outgrows the cap; bucket membership only ever grows,
+  * so a bucket whose final size is under the cap recorded ALL its
+  * witnesses). Oracle-gated against the batch SQL.
+  *
+  * Scale shape: the corpus band table is NEVER shuffled at ingest —
+  * corpus rows are pre-filtered to the increment's buckets by a
+  * BROADCAST semi-join on the increment's distinct (band, band_hash)
+  * keys (an increment of n docs touches ≤ n·bands buckets), so the only
+  * exchange carries bucket-matching rows, bounded by increment-buckets
+  * × bucket size. The ingest-time skew cap bounds pair GENERATION by
+  * the cumulative bucket size at pairing time. At warehouse scale,
+  * store the band table bucketed by band_hash so the per-ingest join is
+  * also co-located on disk.
+  *
+  * Crash safety: the two commits (bands, then witnesses) are healed at
+  * the start of every [[ingest]] and [[pairs]] call — a band partition
+  * lacking its witness partition (crash between the commits) has its
+  * witnesses regenerated AS OF its ingest before any known-id skipping,
+  * so a replayed crashed ingest can never permanently lose pairs.
+  *
+  * Replay guard is O(overlap), not O(corpus): each band partition's
+  * lineage records the ingested id-range, and the known-id check reads
+  * ONLY the partitions whose range overlaps the increment's
+  * ([[overlappingBandSeqs]]) — an append-style workload with fresh ids
+  * reads zero band partitions.
+  *
+  * Lifecycle: [[expire]] ages out old ingests from both tables
+  * (manifest-only retention + snapshot expiry) and [[compact]] rebuilds
+  * the witness table from the surviving bands — a batch pair-generation
+  * pass that never recomputes signatures (the expensive map work stays
+  * amortized), after which [[pairs]] equals the batch run over the
+  * surviving corpus (spec-pinned), including buckets that dropped back
+  * under the cap when their old members aged out.
   *
   * Reference analog: the watermark-driven touched-set recompute of
   * /root/reference/src/vptstools/bin/vph5_to_vpts.py:120-144, applied
@@ -47,28 +77,48 @@ final class IncrementalDedup(spark: SparkSession, root: String,
   private val pairTable = new TierTable(s"$root/pairs", spark).init()
 
   /** Ingest one increment; returns the NEW near-dup candidate pairs it
-    * introduces (id_a < id_b, distinct), already recorded in the pair
-    * table under this ingest's sequence number.
+    * introduces (id_a < id_b, distinct), already recorded in the
+    * witness table under this ingest's sequence number.
     *
     * Replay-safe (the I5 contract [[graft.run.TierRunner.ingest]]
     * keeps for raw days, applied here): ids already present in the
     * band table are dropped from the increment BEFORE the signature
     * work, so re-running a crashed or duplicated ingest is a no-op —
     * no duplicate band rows, no re-emitted pairs. The known-id check
-    * is a narrow id-column scan of the band table semi-joined against
-    * the broadcast increment ids (never a corpus shuffle).
+    * reads only the range-overlapping band partitions (see class doc)
+    * and semi-joins them against the broadcast increment ids — never a
+    * corpus scan, never a corpus shuffle. A crashed half-ingest (bands
+    * committed, witnesses not) is healed first, so the skip can never
+    * drop an increment whose pairs were not yet generated.
     */
   def ingest(increment: DataFrame, idCol: String, textCol: String): DataFrame = {
+    heal()
     val seq = bandTable.currentSnapshotId.map(_ + 1).getOrElse(0L)
+
+    // id-range of the increment (integral id columns only): recorded in
+    // the band partition's lineage for future replay-guard pruning, and
+    // used now to prune the known-id check to overlapping partitions.
+    // A superset of the committed (post-dedup) ids — safe for pruning.
+    val idRange: Option[(Long, Long)] = increment.schema(idCol).dataType match {
+      case LongType | IntegerType =>
+        val r = increment.agg(min(col(idCol).cast("long")).as("mn"),
+                              max(col(idCol).cast("long")).as("mx")).head()
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      case _ => None
+    }
 
     val fresh =
       if (seq == 0L) increment
       else {
-        val knownIds = bandTable.read()
-          .join(broadcast(increment.select(col(idCol).as("_id")).distinct()),
-                Seq("_id"))
-          .select(col("_id").as(idCol)).distinct()
-        increment.join(knownIds, Seq(idCol), "left_anti")
+        val overlapping = overlappingBandSeqs(idRange)
+        if (overlapping.isEmpty) increment
+        else {
+          val knownIds = bandTable.read(overlapping)
+            .join(broadcast(increment.select(col(idCol).as("_id")).distinct()),
+                  Seq("_id"))
+            .select(col("_id").as(idCol)).distinct()
+          increment.join(knownIds, Seq(idCol), "left_anti")
+        }
       }
 
     // 1+2: increment bands, committed as this ingest's partition (the
@@ -78,13 +128,36 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         numHashes, bands)
       .withColumn("ingest_seq", lit(seq))
     bandTable.commitOverwrite(newBands, "ingest_seq",
-      Map(seq.toString -> PartitionLineage(seq, "ok")))
+      Map(seq.toString -> PartitionLineage(seq, "ok",
+        idMin = idRange.map(_._1), idMax = idRange.map(_._2))))
 
-    // 3: new pairs — corpus rows restricted to increment-touched buckets
-    // (broadcast semi-join: no corpus shuffle), cumulative skew cap via
-    // one count window, then increment × touched-corpus within bucket.
+    // 3+4: new pair witnesses, recorded per snapshot (lineage → the
+    // band snapshot that made them)
+    val witnesses = witnessesFor(seq)
+    pairTable.commitOverwrite(witnesses.withColumn("ingest_seq", lit(seq)),
+      "ingest_seq", Map(seq.toString -> PartitionLineage(seq, "ok")))
+    // read back the committed partition (no recompute for the caller);
+    // a witness table that is still all-empty has no schema to read —
+    // that ingest legitimately found nothing
+    try pairTable.read(Set(seq.toString))
+      .select("id_a", "id_b").distinct()
+    catch { case _: IllegalStateException =>
+      witnesses.select("id_a", "id_b").distinct() }
+  }
+
+  /** Pair witnesses introduced by ingest `seq`, computed AS OF that
+    * ingest (bands with ingest_seq ≤ seq only — so a later [[heal]]
+    * reproduces exactly what the crashed run would have committed):
+    * corpus rows restricted to increment-touched buckets (broadcast
+    * semi-join: no corpus shuffle), cumulative skew cap via one count
+    * window, then increment × touched-corpus within bucket, keyed by
+    * the witnessing bucket.
+    */
+  private def witnessesFor(seq: Long): DataFrame = {
+    val asOfKeys = bandTable.partitionKeys.filter(_.toLong <= seq)
+    val asOf = bandTable.read(asOfKeys)
     val inc = bandTable.read(Set(seq.toString))
-    val touched = bandTable.read()
+    val touched = asOf
       .join(broadcast(inc.select("band", "band_hash").distinct()),
             Seq("band", "band_hash"))
     val sized = touched
@@ -94,27 +167,116 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     val l = sized.select(col("_id").as("id_x"), col("band"), col("band_hash"))
     val r = sized.filter(col("ingest_seq") === seq)
       .select(col("_id").as("id_y"), col("band"), col("band_hash"))
-    val pairs = l.join(r, Seq("band", "band_hash"))
+    l.join(r, Seq("band", "band_hash"))
       .filter(col("id_x") =!= col("id_y"))
-      .select(least(col("id_x"), col("id_y")).as("id_a"),
+      .select(col("band"), col("band_hash"),
+              least(col("id_x"), col("id_y")).as("id_a"),
               greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
-
-    // 4: record per snapshot (lineage → the band snapshot that made them)
-    pairTable.commitOverwrite(pairs.withColumn("ingest_seq", lit(seq)),
-      "ingest_seq", Map(seq.toString -> PartitionLineage(seq, "ok")))
-    // read back the committed partition (no recompute for the caller);
-    // a pair table that is still all-empty has no schema to read — that
-    // ingest legitimately found nothing
-    try pairTable.read(Set(seq.toString)).drop("ingest_seq")
-    catch { case _: IllegalStateException => pairs }
   }
 
-  /** All recorded pairs across every ingest (disjoint per-ingest sets;
-    * equals the full-corpus batch run — the convergence contract).
+  /** Band partitions whose recorded id-range overlaps `range` (plus any
+    * partition with no recorded range — unknown ids must be read). The
+    * replay guard's pruning set; exposed for the plan spec that pins
+    * "disjoint increment reads zero band partitions".
     */
-  def pairs(): DataFrame = pairTable.read().drop("ingest_seq")
+  private[ops] def overlappingBandSeqs(range: Option[(Long, Long)]): Set[String] = {
+    val parts = bandTable.currentManifest.map(_.partitions).getOrElse(Map.empty)
+    parts.collect {
+      case (k, e) if e.path.nonEmpty && range.forall { case (lo, hi) =>
+        e.lineage.flatMap(l => l.idMin.zip(l.idMax))
+          .forall { case (mn, mx) => lo <= mx && mn <= hi }
+      } => k
+    }.toSet
+  }
+
+  /** Heal a crashed half-ingest: regenerate the witness partition for
+    * any band partition that lacks one (the two commits are not atomic;
+    * a crash between them would otherwise permanently lose that
+    * increment's pairs, because the replay guard drops its ids as
+    * already-known). Idempotent and metadata-only when nothing is
+    * missing.
+    */
+  private def heal(): Unit = {
+    val bandKeys = bandTable.partitionKeys // non-empty: empties have no pairs
+    if (bandKeys.isEmpty) return
+    val pairKeys: Set[String] = pairTable.currentManifest
+      .map(_.partitions.keySet).getOrElse(Set.empty)
+    (bandKeys -- pairKeys).toSeq.sortBy(_.toLong).foreach { k =>
+      val seq = k.toLong
+      pairTable.commitOverwrite(
+        witnessesFor(seq).withColumn("ingest_seq", lit(seq)),
+        "ingest_seq", Map(k -> PartitionLineage(seq, "healed")))
+    }
+  }
+
+  /** All near-dup pairs across every ingest — equal to the full-corpus
+    * batch [[Dedup.minHashLsh]] run (the convergence contract, exact
+    * under the cap: see class doc). One narrow partial-agg over the
+    * band table computes final bucket sizes; recorded witnesses from
+    * buckets that outgrew `maxBucket` are masked, matching batch's
+    * whole-bucket drop.
+    */
+  def pairs(): DataFrame = {
+    heal()
+    val sizes = bandTable.read()
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("_bsz"))
+    pairTable.read()
+      .join(sizes, Seq("band", "band_hash"))
+      .filter(col("_bsz") <= maxBucket)
+      .select("id_a", "id_b").distinct()
+  }
 
   /** The accumulated corpus band stream. */
   def corpusBands(): DataFrame = bandTable.read()
+
+  /** Rebuild the witness table from the CURRENT band table: batch pair
+    * generation over ≤-cap buckets (one count window + one self-join —
+    * both sides reuse one exchange), with each witness recorded under
+    * the ingest of its later member. Never recomputes signatures. Run
+    * after retention so [[pairs]] equals the batch run over the
+    * surviving corpus — including pairs in buckets that dropped back
+    * under the cap when expired members left, which the ingest-time
+    * stream could not have recorded.
+    */
+  def compact(): Unit = {
+    val manifestOpt = bandTable.currentManifest
+    if (manifestOpt.isEmpty || bandTable.partitionKeys.isEmpty) return
+    val manifest = manifestOpt.get
+    val sized = bandTable.read()
+      .withColumn("_bsz", count(lit(1)).over(
+        Window.partitionBy("band", "band_hash")))
+      .filter(col("_bsz") <= maxBucket)
+    val l = sized.select(col("_id").as("id_x"), col("band"),
+                         col("band_hash"), col("ingest_seq").as("_sx"))
+    val r = sized.select(col("_id").as("id_y"), col("band"),
+                         col("band_hash"), col("ingest_seq").as("_sy"))
+    val witnesses = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_x") < col("id_y"))
+      .select(col("band"), col("band_hash"),
+              col("id_x").as("id_a"), col("id_y").as("id_b"),
+              greatest(col("_sx"), col("_sy")).as("ingest_seq"))
+    // every band partition gets a witness partition (explicit-empty
+    // where none) so the heal invariant stays intact post-compaction
+    val lineage = manifest.partitions.keySet
+      .map(k => k -> PartitionLineage(k.toLong, "compacted")).toMap
+    pairTable.commitOverwrite(witnesses, "ingest_seq", lineage)
+  }
+
+  /** Retention: drop every ingest whose seq fails `keepSeq` from BOTH
+    * tables (manifest-only), [[compact]] the witness table over the
+    * survivors, and expire unreferenced snapshot history/directories.
+    * Returns the dropped ingest seqs. Afterwards [[pairs]] equals the
+    * batch run over the surviving corpus (spec-pinned).
+    */
+  def expire(keepSeq: Long => Boolean, keepSnapshots: Int = 2): Set[String] = {
+    if (bandTable.currentSnapshotId.isEmpty) return Set.empty
+    val dropped = bandTable.commitRetention(k => keepSeq(k.toLong))
+    if (pairTable.currentSnapshotId.nonEmpty)
+      pairTable.commitRetention(k => keepSeq(k.toLong))
+    compact()
+    bandTable.expireSnapshots(keepSnapshots)
+    pairTable.expireSnapshots(keepSnapshots)
+    dropped
+  }
 }

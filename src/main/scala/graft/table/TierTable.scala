@@ -313,9 +313,18 @@ final class TierTable(val root: String, spark: SparkSession) {
 
 /** Per-partition lineage recorded in the manifest (north rule: input
   * snapshot id, bucket id, row counts, checksums + status).
+  *
+  * `idMin`/`idMax` are an OPTIONAL record-id range covered by the
+  * partition (recorded by writers whose id column is integral). Readers
+  * use it to prune partition-level lookups — e.g.
+  * [[graft.ops.IncrementalDedup]]'s replay guard reads only band
+  * partitions whose range overlaps the increment's, O(overlap) instead
+  * of O(corpus). Absent range = "unknown ids, must read" (safe default).
   */
 final case class PartitionLineage(inputSnapshot: Long, status: String,
-                                  error: Option[String] = None)
+                                  error: Option[String] = None,
+                                  idMin: Option[Long] = None,
+                                  idMax: Option[Long] = None)
 
 final case class PartitionEntry(path: String, rows: Long, checksum: Long,
                                 lineage: Option[PartitionLineage])
@@ -331,7 +340,9 @@ final case class Manifest(snapshot: Long, parent: Option[Long],
     val parts = partitions.toSeq.sortBy(_._1).map { case (k, p) =>
       val lin = p.lineage.map(l =>
         s""","lineage":{"input_snapshot":${l.inputSnapshot},"status":${q(l.status)}""" +
-          l.error.map(e => s""","error":${q(e)}""").getOrElse("") + "}")
+          l.error.map(e => s""","error":${q(e)}""").getOrElse("") +
+          l.idMin.zip(l.idMax).map { case (mn, mx) =>
+            s""","id_min":$mn,"id_max":$mx""" }.getOrElse("") + "}")
         .getOrElse("")
       s"""${q(k)}:{"path":${q(p.path)},"rows":${p.rows},"checksum":${p.checksum}$lin}"""
     }.mkString("{", ",", "}")
@@ -349,7 +360,9 @@ object Manifest {
     * version field at all). A versionless or mismatched manifest fails
     * fast at open instead of yielding silently different plans,
     * spurious snapshot diffs, or a NumberFormatException deep inside
-    * [[TierTable.expireSnapshots]].
+    * [[TierTable.expireSnapshots]]. Additive OPTIONAL fields (e.g. the
+    * lineage `id_min`/`id_max` range) do not bump the version: v2
+    * readers parse manifests with or without them.
     */
   val FormatVersion: Long = 2L
 
@@ -380,11 +393,14 @@ object Manifest {
       ("\"((?:[^\"\\\\]|\\\\.)*)\":\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
         "\"rows\":(-?\\d+),\"checksum\":(-?\\d+)" +
         "(?:,\"lineage\":\\{\"input_snapshot\":(-?\\d+),\"status\":\"((?:[^\"\\\\]|\\\\.)*)\"" +
-        "(?:,\"error\":\"((?:[^\"\\\\]|\\\\.)*)\")?\\})?\\}").r
+        "(?:,\"error\":\"((?:[^\"\\\\]|\\\\.)*)\")?" +
+        "(?:,\"id_min\":(-?\\d+),\"id_max\":(-?\\d+))?\\})?\\}").r
     val body = s.substring(s.indexOf("\"partitions\":") + "\"partitions\":".length)
     val parts = entryRe.findAllMatchIn(body).map { m =>
       val lineage = Option(m.group(5)).map(is =>
-        PartitionLineage(is.toLong, m.group(6), Option(m.group(7))))
+        PartitionLineage(is.toLong, m.group(6), Option(m.group(7)),
+                         Option(m.group(8)).map(_.toLong),
+                         Option(m.group(9)).map(_.toLong)))
       m.group(1) -> PartitionEntry(m.group(2), m.group(3).toLong,
                                    m.group(4).toLong, lineage)
     }.toMap

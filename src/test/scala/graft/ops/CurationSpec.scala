@@ -158,6 +158,86 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("incremental dedup heals a crashed half-ingest (bands committed, pairs not)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-heal").toString
+    val d = new IncrementalDedup(spark, root)
+    d.ingest(docs.filter(col("doc_id") % 2L === 0L), "doc_id", "text")
+    val pairTable = new graft.table.TierTable(s"$root/pairs", spark)
+    val preCrash = pairTable.currentSnapshotId.get
+    d.ingest(docs.filter(col("doc_id") % 2L === 1L), "doc_id", "text")
+    // simulate the crash window: the band commit survived, the pair
+    // commit did not — roll the pair table back to its pre-ingest
+    // snapshot. Without healing, a replay would skip the second
+    // increment's ids as already-known and its pairs would be lost
+    // forever.
+    pairTable.rollbackTo(preCrash)
+    val d2 = new IncrementalDedup(spark, root)
+    val batch = Dedup.minHashLsh(docs, "doc_id", "text")
+    assert(d2.pairs().exceptAll(batch).isEmpty &&
+           batch.exceptAll(d2.pairs()).isEmpty,
+      "healed pair table diverged from the batch run")
+  }
+
+  test("replay guard prunes to range-overlapping band partitions (no corpus scan)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-prune").toString
+    val d = new IncrementalDedup(spark, root)
+    d.ingest(docs.filter(col("doc_id") < 100L), "doc_id", "text")
+    d.ingest(docs.filter(col("doc_id") >= 100L && col("doc_id") < 200L),
+             "doc_id", "text")
+    // a disjoint-range increment reads ZERO band partitions — the
+    // ingest path contains no full band-table scan
+    assert(d.overlappingBandSeqs(Some((500L, 600L))).isEmpty)
+    // an overlapping range selects exactly the covering partition
+    assert(d.overlappingBandSeqs(Some((150L, 160L))) == Set("1"))
+    assert(d.overlappingBandSeqs(Some((50L, 160L))) == Set("0", "1"))
+    // unknown range (non-integral ids) falls back to every partition
+    assert(d.overlappingBandSeqs(None) == Set("0", "1"))
+    // and the pruned guard still dedups a genuinely replayed overlap
+    val before = d.corpusBands().count()
+    d.ingest(docs.filter(col("doc_id") >= 100L && col("doc_id") < 200L),
+             "doc_id", "text")
+    assert(d.corpusBands().count() == before, "replay duplicated bands")
+  }
+
+  test("retention + compaction: pairs() equals the batch run over the surviving corpus") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-expire").toString
+    val d = new IncrementalDedup(spark, root)
+    d.ingest(docs.filter(col("doc_id") < 150L), "doc_id", "text")
+    d.ingest(docs.filter(col("doc_id") >= 150L && col("doc_id") < 300L),
+             "doc_id", "text")
+    d.ingest(docs.filter(col("doc_id") >= 300L), "doc_id", "text")
+    val dropped = d.expire(seq => seq >= 1L)
+    assert(dropped == Set("0"), s"dropped $dropped")
+    val surviving = docs.filter(col("doc_id") >= 150L)
+    val batch = Dedup.minHashLsh(surviving, "doc_id", "text")
+    assert(d.pairs().exceptAll(batch).isEmpty &&
+           batch.exceptAll(d.pairs()).isEmpty,
+      "post-retention pairs() diverged from batch over survivors")
+    assert(d.corpusBands().select("ingest_seq").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("cap crossed mid-stream: pairs() still equals batch (final-size mask)") {
+    import spark.implicits._
+    def mk(ids: Seq[Long]) = ids
+      .map(i => (i, "same text for every doc in the bucket"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-cap").toString
+    val d = new IncrementalDedup(spark, root, maxBucket = 3)
+    d.ingest(mk(Seq(1L, 2L)), "doc_id", "text") // bucket size 2: recorded
+    assert(d.pairs().count() == 1)
+    d.ingest(mk(Seq(3L, 4L, 5L)), "doc_id", "text") // size 5 > cap
+    // batch with the same cap drops the over-cap bucket ENTIRELY; the
+    // recorded (1,2) witness must be masked by the final-size filter
+    assert(Dedup.minHashLsh(mk(Seq(1L, 2L, 3L, 4L, 5L)), "doc_id", "text",
+                            maxBucket = 3).isEmpty)
+    assert(d.pairs().isEmpty, "pre-cap witness leaked past the final-size mask")
+  }
+
   test("connected components: chains, cliques, isolated pairs — min-id labels") {
     import spark.implicits._
     // a 40-node chain (worst case for plain propagation — pointer
