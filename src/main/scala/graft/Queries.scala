@@ -949,6 +949,47 @@ object Queries {
            |       CAST(count(*) AS BIGINT) AS file_count
            |FROM files GROUP BY 1, 2""".stripMargin)),
 
+    // P9 FULL parser (s3.py:100-120): the reference's actual regex —
+    // mixed-case radar lowered, data_type group, optional T, tolerated
+    // extra suffixes, legacy uva inventory shape — exercised over the
+    // 6 reference test variants (tests/test_s3.py:19-111) distributed
+    // across the events table, with the invalid 7th name quarantined
+    // by the regex gate on both engines. Pure narrow codegen'd
+    // projection: 10^12 inventory keys parse at scan speed.
+    "filename_parse" -> QueryDef(
+      run = (s, dir) => {
+        import graft.fmt.OdimPath
+        val n = OdimPath.ReferenceVariants.size
+        val path = element_at(
+          array(OdimPath.ReferenceVariants.map(lit): _*),
+          (pmod(col("event_id"), lit(n.toLong)) + 1L).cast("int"))
+        s.read.parquet(s"$dir/events.parquet")
+          .select(path.as("file_path"))
+          .filter(OdimPath.isValid(col("file_path")))
+          .select(col("file_path") +: OdimPath.parse(col("file_path")): _*)
+          .groupBy("file_path", "radar_code", "data_type", "year", "month",
+                   "day", "hour", "minute", "file_name", "country", "radar")
+          .agg(count(lit(1)).as("n_files"))
+      },
+      oracle = Some {
+        import graft.fmt.OdimPath
+        val n = OdimPath.ReferenceVariants.size
+        val cases = OdimPath.ReferenceVariants.zipWithIndex
+          .map { case (p, i) => s"WHEN $i THEN '$p'" }
+          .mkString("\n|    ", "\n|    ", "")
+        s"""WITH paths AS (
+           |  SELECT CASE CAST(((event_id % $n) + $n) % $n AS INT)$cases
+           |  END AS file_path
+           |  FROM events
+           |)
+           |SELECT file_path,
+           |       ${OdimPath.parseSql("file_path").replace("\n", "\n       ")},
+           |       CAST(count(*) AS BIGINT) AS n_files
+           |FROM paths
+           |WHERE ${OdimPath.isValidSql("file_path")}
+           |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11""".stripMargin
+      }),
+
     // S5 manifest JSON scan: per-day inventory manifests
     // ({"files":[{"key":…}…]}, s3.py:156-174) built from the data,
     // then from_json + explode back to per-file keys.
@@ -1233,7 +1274,12 @@ object Queries {
            |GROUP BY 1, 2""".stripMargin)),
 
     // Per-(series, day) Gorilla value blocks stored as binary columns:
-    // decoding the stored blocks must reproduce the 5m tier points.
+    // decoding the stored blocks must reproduce the 5m tier points,
+    // INCLUDING the three-state missingness — the value channel's NaN
+    // sentinel decodes to null for zero-OK buckets, and the parallel
+    // OK/NODATA/UNDETECT count channels survive the codec round-trip
+    // value-for-value (no HAVING: every bucket with any raw row has a
+    // block point).
     "gorilla_blocks" -> QueryDef(
       run = (s, dir) => {
         val root = java.nio.file.Files
@@ -1248,10 +1294,12 @@ object Queries {
            |       warc_epoch - (warc_epoch % 300) AS bucket_epoch,
            |       CAST(sum(CASE WHEN flag = 0
            |                     THEN CAST(floor(value * 1000000) AS BIGINT)
-           |                END) AS DOUBLE) AS value
+           |                END) AS DOUBLE) AS value,
+           |       CAST(sum(CASE WHEN flag = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           |       CAST(sum(CASE WHEN flag = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodata,
+           |       CAST(sum(CASE WHEN flag = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_undetect
            |FROM webpages
-           |GROUP BY 1, 2
-           |HAVING count(CASE WHEN flag = 0 THEN 1 END) > 0""".stripMargin)),
+           |GROUP BY 1, 2""".stripMargin)),
 
     // G1 parallel-arrays explode (vpts.py:108-136): per-profile arrays
     // (25-level ladder) + broadcast scalars → long form via ONE

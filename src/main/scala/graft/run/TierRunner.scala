@@ -209,14 +209,23 @@ final class TierRunner(spark: SparkSession, root: String,
         if (failed.contains(TierSpec.T5m.name)) {
           todo.foreach(p => entries += RunEntry(key, p, 0L, "skipped:upstream_failed", 0L))
         } else try {
-          // value series has points only where something was measured:
-          // buckets with zero OK rows have null sums and no block point
+          // THREE-STATE blocks: the value channel encodes every bucket
+          // (NaN where zero OK rows — the bit pattern Gorilla-XORs like
+          // any other double and decode maps back to null), and three
+          // parallel count channels carry the OK/NODATA/UNDETECT bucket
+          // states through the codec round-trip exactly as they travel
+          // the rollup cascade. All four channels share one ts grid per
+          // (series, day), so decode re-aligns them positionally.
           val t5m = tableFor(TierSpec.T5m).read(touchedDays)
-            .filter(col("n_ok") > 0)
+          def enc(v: org.apache.spark.sql.Column) =
+            graft.codec.GorillaAgg.gorillaEncode(col("bucket_epoch"), v)
           val blocks = t5m.groupBy(col("domain"), col("day_epoch"))
-            .agg(graft.codec.GorillaAgg.gorillaEncode(
-              col("bucket_epoch"),
-              col("sum_value_micros").cast("double")).as("block"))
+            .agg(
+              enc(coalesce(col("sum_value_micros").cast("double"),
+                           lit(Double.NaN))).as("block"),
+              enc(col("n_ok").cast("double")).as("ok_block"),
+              enc(col("n_nodata").cast("double")).as("nodata_block"),
+              enc(col("n_undetect").cast("double")).as("undetect_block"))
           val lineage = todo.map(p =>
             p -> PartitionLineage(inputSnapshot, "ok")).toMap
           val m = blocksTable.commitOverwrite(blocks, "day_epoch", lineage)
@@ -277,15 +286,32 @@ final class TierRunner(spark: SparkSession, root: String,
   /** Read the per-(series, day) Gorilla value blocks. */
   def blocks(): DataFrame = blocksTable.read()
 
-  /** Decode the block table back to (domain, bucket_epoch, value)
-    * points — the generator inverse of the block encode.
+  /** Decode the block table back to (domain, bucket_epoch, value,
+    * n_ok, n_nodata, n_undetect) points — the generator inverse of the
+    * four-channel block encode. The channels were encoded from one ts
+    * grid per (series, day), so one `arrays_zip` re-aligns them
+    * positionally (Gorilla decode returns ts-sorted points); the value
+    * channel's NaN sentinel (bucket with zero OK rows) maps back to
+    * null, mirroring the cascade's null-skipping OK-only sums.
     */
   def decodedBlocks(): DataFrame = {
-    val b = blocks()
-    b.select(col("domain"),
-        explode(graft.codec.GorillaAgg.gorillaDecode(col("block"))).as("pt"))
-      .select(col("domain"), col("pt.ts_epoch").as("bucket_epoch"),
-              col("pt.value"))
+    import graft.codec.GorillaAgg.gorillaDecode
+    blocks()
+      .select(col("domain"),
+        gorillaDecode(col("block")).as("va"),
+        gorillaDecode(col("ok_block")).as("oa"),
+        gorillaDecode(col("nodata_block")).as("na"),
+        gorillaDecode(col("undetect_block")).as("ua"))
+      .select(col("domain"),
+        explode(arrays_zip(col("va"), col("oa"), col("na"), col("ua")))
+          .as("pt"))
+      .select(col("domain"),
+        col("pt.va.ts_epoch").as("bucket_epoch"),
+        when(isnan(col("pt.va.value")), lit(null))
+          .otherwise(col("pt.va.value")).as("value"),
+        col("pt.oa.value").cast("long").as("n_ok"),
+        col("pt.na.value").cast("long").as("n_nodata"),
+        col("pt.ua.value").cast("long").as("n_undetect"))
   }
 }
 
