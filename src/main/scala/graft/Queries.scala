@@ -237,6 +237,49 @@ object Queries {
         TierSpec.T1h),
       oracle = Some(GapFill.denseBySeriesOracleSql(TierSpec.T1h))),
 
+    // Gap-fill over the MULTI-COLUMN production series key
+    // (domain, url_bucket) — the actual 100 TB key: the window and the
+    // per-series grid are keyed on the composite, so a hot domain's
+    // stream splits across its url buckets. Bucket = portable 60-bit
+    // url hash mod 8 (engine-mirrorable, unlike xxhash64).
+    "ts_gapfill_bucketed" -> QueryDef(
+      run = (s, dir) => {
+        val keys = Seq("domain", "url_bucket")
+        val keyed = pages(s, dir).withColumn("url_bucket",
+          pmod(graft.functions.Portable.hash60(col("url")), lit(8L)))
+        GapFill.denseBySeries(
+          Rollup.fromRaw(keyed, TierSpec.T1h, keys), TierSpec.T1h, keys)
+      },
+      oracle = Some {
+        val h = graft.functions.Portable.hash60Sql("url")
+        s"""${WebPages.oracleCte},
+           |keyed AS (
+           |  SELECT domain, ($h % 8) AS url_bucket, warc_epoch, n_chars, value
+           |  FROM webpages
+           |),
+           |obs AS (
+           |  SELECT domain, url_bucket,
+           |         warc_epoch - (warc_epoch % 3600) AS bucket_epoch,
+           |         ${Rollup.oracleMeasures.replace("\n", "\n         ")}
+           |  FROM keyed GROUP BY 1, 2, 3
+           |),
+           |grid AS (SELECT domain, url_bucket,
+           |                CAST(unnest(generate_series(mn, mx, 3600)) AS BIGINT) AS bucket_epoch
+           |         FROM (SELECT domain, url_bucket, min(bucket_epoch) mn,
+           |                      max(bucket_epoch) mx
+           |               FROM obs GROUP BY 1, 2))
+           |SELECT grid.domain, grid.url_bucket, grid.bucket_epoch,
+           |       obs.n, obs.sum_chars, obs.sum_value_micros,
+           |       obs.min_value_micros, obs.max_value_micros,
+           |       (obs.n IS NULL) AS is_gap,
+           |       CAST(CASE WHEN obs.n IS NULL THEN ${graft.core.Flag.NODATA}
+           |            ELSE ${graft.core.Flag.OK} END AS TINYINT) AS flag
+           |FROM grid
+           |LEFT JOIN obs ON obs.domain = grid.domain
+           |             AND obs.url_bucket = grid.url_bucket
+           |             AND obs.bucket_epoch = grid.bucket_epoch""".stripMargin
+      }),
+
     "ts_ffill_1h" -> QueryDef(
       run = (s, dir) => GapFill.forwardFill(GapFill.dense(Rollup.cascade(
           Rollup.fromRaw(pages(s, dir), TierSpec.T5m), TierSpec.T1h),

@@ -44,21 +44,34 @@ object GapFill {
     */
   def dense(rollup: DataFrame, tier: TierSpec,
             seriesCol: String = "domain"): DataFrame =
-    denseImpl(rollup, tier, seriesCol, global = true)
+    denseImpl(rollup, tier, Seq(seriesCol), global = true)
+
+  /** Multi-column series key (e.g. the production (domain, url_bucket)
+    * key at 100 TB) — same single-window-plus-generator plan, with the
+    * window and grid keyed on the composite.
+    */
+  def dense(rollup: DataFrame, tier: TierSpec,
+            seriesCols: Seq[String]): DataFrame =
+    denseImpl(rollup, tier, seriesCols, global = true)
 
   /** Dense PER-SERIES-range grid: each series' ladder spans its own
     * [first, last] observed bucket — the scale-safe default.
     */
   def denseBySeries(rollup: DataFrame, tier: TierSpec,
                     seriesCol: String = "domain"): DataFrame =
-    denseImpl(rollup, tier, seriesCol, global = false)
+    denseImpl(rollup, tier, Seq(seriesCol), global = false)
+
+  /** Per-series grid over a multi-column series key. */
+  def denseBySeries(rollup: DataFrame, tier: TierSpec,
+                    seriesCols: Seq[String]): DataFrame =
+    denseImpl(rollup, tier, seriesCols, global = false)
 
   private def denseImpl(rollup: DataFrame, tier: TierSpec,
-                        seriesCol: String, global: Boolean): DataFrame = {
+                        seriesCols: Seq[String], global: Boolean): DataFrame = {
     val step = tier.seconds
     val measures = rollup.columns.toSeq
-      .filterNot(c => c == seriesCol || c == "bucket_epoch")
-    val w = Window.partitionBy(seriesCol).orderBy("bucket_epoch")
+      .filterNot(c => seriesCols.contains(c) || c == "bucket_epoch")
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy("bucket_epoch")
     val nbrs = rollup
       .withColumn("_prev", lag(col("bucket_epoch"), 1).over(w))
       .withColumn("_last", lead(col("bucket_epoch"), 1).over(w).isNull)
@@ -83,8 +96,8 @@ object GapFill {
       .withColumn("_bk", explode(concat(upTo, trailing)))
       .withColumn("is_gap", col("_bk") =!= col("bucket_epoch"))
     exploded.select(
-      (col(seriesCol) +: col("_bk").as("bucket_epoch") +:
-        measures.map(c => when(!col("is_gap"), col(c)).as(c))) :+
+      (seriesCols.map(col) ++ (col("_bk").as("bucket_epoch") +:
+        measures.map(c => when(!col("is_gap"), col(c)).as(c)))) :+
         col("is_gap") :+
         when(col("is_gap"), lit(Flag.NODATA)).otherwise(lit(Flag.OK))
           .as("flag"): _*)
@@ -95,8 +108,13 @@ object GapFill {
     * the first observation of a series) stay null.
     */
   def forwardFill(denseDf: DataFrame, valueCol: String = "sum_value_micros",
-                  seriesCol: String = "domain"): DataFrame = {
-    val w = Window.partitionBy(seriesCol).orderBy("bucket_epoch")
+                  seriesCol: String = "domain"): DataFrame =
+    forwardFill(denseDf, valueCol, Seq(seriesCol))
+
+  /** Forward-fill over a multi-column series key. */
+  def forwardFill(denseDf: DataFrame, valueCol: String,
+                  seriesCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy("bucket_epoch")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     denseDf
       .withColumn("ffill_value", last(col(valueCol), ignoreNulls = true).over(w))
@@ -113,12 +131,19 @@ object GapFill {
     * stay far below that).
     */
   def interpolate(denseDf: DataFrame, valueCol: String = "sum_value_micros",
-                  seriesCol: String = "domain"): DataFrame = {
+                  seriesCol: String = "domain"): DataFrame =
+    interpolate(denseDf, valueCol, Seq(seriesCol))
+
+  /** Interpolation over a multi-column series key. */
+  def interpolate(denseDf: DataFrame, valueCol: String,
+                  seriesCols: Seq[String]): DataFrame = {
     val obs = when(!col("is_gap"), col(valueCol))
     val obsT = when(!col("is_gap"), col("bucket_epoch"))
-    val wPrev = Window.partitionBy(seriesCol).orderBy("bucket_epoch")
+    val wPrev = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy("bucket_epoch")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(seriesCol).orderBy("bucket_epoch")
+    val wNext = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy("bucket_epoch")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val withNbrs = denseDf
       .withColumn("_pv", last(obs, ignoreNulls = true).over(wPrev))

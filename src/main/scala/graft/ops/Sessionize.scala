@@ -23,8 +23,14 @@ object Sessionize {
 
   /** Adds `session_seq` (1-based per key, in time order). */
   def assign(df: DataFrame, keyCol: String, timeCol: String, idCol: String,
-             gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col(idCol))
+             gapSeconds: Long): DataFrame =
+    assign(df, Seq(keyCol), timeCol, idCol, gapSeconds)
+
+  /** Multi-column session key (e.g. (domain, url_bucket) at scale). */
+  def assign(df: DataFrame, keyCols: Seq[String], timeCol: String,
+             idCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol), col(idCol))
     val prev = lag(col(timeCol), 1).over(w)
     df.withColumn("_new",
         when(prev.isNull || col(timeCol) - prev > gapSeconds, 1L)
@@ -48,11 +54,18 @@ object Sessionize {
     */
   def assignBucketed(df: DataFrame, keyCol: String, timeCol: String,
                      idCol: String, gapSeconds: Long,
+                     bucketSeconds: Long): DataFrame =
+    assignBucketed(df, Seq(keyCol), timeCol, idCol, gapSeconds, bucketSeconds)
+
+  /** Skew-safe two-phase form over a multi-column session key. */
+  def assignBucketed(df: DataFrame, keyCols: Seq[String], timeCol: String,
+                     idCol: String, gapSeconds: Long,
                      bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, "bucket width must be positive")
+    val keys = keyCols.map(col)
     val bucketed = df.withColumn("_bkt",
       col(timeCol) - pmod(col(timeCol), lit(bucketSeconds)))
-    val w1 = Window.partitionBy(col(keyCol), col("_bkt"))
+    val w1 = Window.partitionBy(keys :+ col("_bkt"): _*)
       .orderBy(col(timeCol), col(idCol))
     val prev = lag(col(timeCol), 1).over(w1)
     val local = bucketed
@@ -63,10 +76,10 @@ object Sessionize {
         w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("_new")
     // per-bucket summaries: the TINY phase-2 stream
-    val stats = local.groupBy(col(keyCol), col("_bkt"))
+    val stats = local.groupBy(keys :+ col("_bkt"): _*)
       .agg(min(col(timeCol)).as("_ft"), max(col(timeCol)).as("_lt"),
            max(col("_ls")).as("_nl"))
-    val w2 = Window.partitionBy(keyCol).orderBy("_bkt")
+    val w2 = Window.partitionBy(keys: _*).orderBy("_bkt")
     val prevLast = lag(col("_lt"), 1).over(w2)
     val offsets = stats
       .withColumn("_merge",
@@ -77,8 +90,8 @@ object Sessionize {
           w2.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
           - sum(col("_merge")).over(
             w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col(keyCol), col("_bkt"), col("_off"))
-    local.join(offsets, Seq(keyCol, "_bkt"))
+      .select(keys :+ col("_bkt") :+ col("_off"): _*)
+    local.join(offsets, keyCols :+ "_bkt")
       .withColumn("session_seq", col("_ls") + col("_off"))
       .drop("_bkt", "_ls", "_off")
   }
@@ -86,8 +99,13 @@ object Sessionize {
   /** Per-session stats: bounds, event count, duration. */
   def stats(df: DataFrame, keyCol: String, timeCol: String, idCol: String,
             gapSeconds: Long): DataFrame =
-    assign(df, keyCol, timeCol, idCol, gapSeconds)
-      .groupBy(col(keyCol), col("session_seq"))
+    stats(df, Seq(keyCol), timeCol, idCol, gapSeconds)
+
+  /** Per-session stats over a multi-column session key. */
+  def stats(df: DataFrame, keyCols: Seq[String], timeCol: String,
+            idCol: String, gapSeconds: Long): DataFrame =
+    assign(df, keyCols, timeCol, idCol, gapSeconds)
+      .groupBy(keyCols.map(col) :+ col("session_seq"): _*)
       .agg(count(lit(1)).as("n_events"),
            min(col(timeCol)).as("start_epoch"),
            max(col(timeCol)).as("end_epoch"))

@@ -255,6 +255,41 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       p.take(1200))
   }
 
+  test("multi-column series keys: sessionize + gap-fill over a composite key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val ev = (0 until 300).map { i =>
+      ((i % 2).toLong, (i % 3).toLong, rnd.nextInt(20000).toLong, i.toLong)
+    }.toDF("k1", "k2", "t_epoch", "event_id")
+    val keys = Seq("k1", "k2")
+    val base = Sessionize.assign(ev, keys, "t_epoch", "event_id", 1800L)
+    val bucketed = Sessionize.assignBucketed(ev, keys, "t_epoch", "event_id",
+                                             1800L, 450L)
+    assert(bucketed.exceptAll(base).isEmpty && base.exceptAll(bucketed).isEmpty,
+      "composite-key bucketed sessionize != one-window form")
+    // BOTH key columns partition the window exchange
+    val p = base.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(k1[^)]*k2".r.findFirstIn(p).isDefined, p.take(900))
+
+    val roll = ev.groupBy(col("k1"), col("k2"),
+        graft.ops.Rollup.bucket(col("t_epoch"), graft.core.TierSpec.T5m))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_value_micros"))
+    val dense = GapFill.denseBySeries(roll, graft.core.TierSpec.T5m, keys)
+    // per-series grid: exactly (max-min)/step+1 rows per composite series
+    val bad = dense.groupBy("k1", "k2")
+      .agg(count(lit(1)).as("c"),
+           expr("(max(bucket_epoch) - min(bucket_epoch)) DIV 300 + 1").as("want"))
+      .filter(col("c") =!= col("want"))
+    assert(bad.isEmpty, "composite-key per-series grid has wrong density")
+    // ffill + interpolate accept the composite key; observed rows pass through
+    val ff = GapFill.forwardFill(dense, "sum_value_micros", keys)
+    assert(ff.filter(!col("is_gap") &&
+      col("ffill_value") =!= col("sum_value_micros")).isEmpty)
+    val ip = GapFill.interpolate(dense, "sum_value_micros", keys)
+    assert(ip.filter(!col("is_gap") &&
+      col("interp_value") =!= col("sum_value_micros")).isEmpty)
+  }
+
   test("forward as-of join: inclusive next match, trailing nulls") {
     import spark.implicits._
     val left = Seq(("a", 5L, 1), ("a", 10L, 2), ("a", 15L, 3),
