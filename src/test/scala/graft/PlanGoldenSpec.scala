@@ -36,6 +36,10 @@ class PlanGoldenSpec extends AnyFunSuite with SparkSuite {
 
   private def planOf(name: String): String = {
     import org.apache.spark.sql.execution.ExplainMode
+    // other suites cache shared frames (e.g. OpsSpec's pages); Catalyst
+    // would substitute their InMemoryRelations into these plans and the
+    // golden would depend on suite execution order — plan the cold tree
+    spark.catalog.clearCache()
     val df = SparkEntry.queries(name)(spark, sfDir)
     normalize(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
   }
