@@ -63,9 +63,11 @@ object Bench {
   val benchQueries: Seq[String] = Seq(
     "wp_base", "ts_rollup_5m", "ts_rollup_1h", "ts_rollup_1d",
     "ts_rollup_30d", "ts_rollup_flags_1h", "ts_gapfill_1h",
-    "ts_gapfill_series_1h", "ts_ffill_1h", "ts_interp_1h", "ts_sessionize",
+    "ts_gapfill_series_1h", "ts_gapfill_bucketed", "ts_ffill_1h",
+    "ts_interp_1h", "ts_sessionize",
     "ts_rate_1h", "asof_join",
-    "gorilla_roundtrip", "profile_explode", "dedup_exact", "dedup_minhash",
+    "gorilla_roundtrip", "profile_explode", "filename_parse",
+    "dedup_exact", "dedup_minhash",
     "dedup_simhash", "dedup_simhash_pairs",
     "dedup_embedding_lsh", "corpus_filter", "corpus_sample", "corpus_mix",
     "decontaminate",

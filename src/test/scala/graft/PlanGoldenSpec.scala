@@ -10,10 +10,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * of silent slowdowns. Complements PlanSpec's targeted string pins
   * with the WHOLE operator tree.
   *
-  * The golden is the tree section of `explain("formatted")` with
-  * expression ids normalized (`#12` → `#N`) — operator structure and
-  * ids are kept verbatim. Regenerate after an intentional plan change
-  * with: `GRAFT_UPDATE_PLANS=1 sbt "testOnly graft.PlanGoldenSpec"`.
+  * The golden is the tree section of `explain("formatted")` of the
+  * EXECUTED plan (the query is materialized first, so AQE has
+  * finalized it — runtime exchange reuse, final join strategies; the
+  * initial adaptive plan would show self-join pipelines duplicated
+  * that runtime dedups into one ReusedExchange), with expression ids
+  * normalized (`#12` → `#N`) — operator structure and ids are kept
+  * verbatim. Regenerate after an intentional plan change with:
+  * `GRAFT_UPDATE_PLANS=1 sbt "testOnly graft.PlanGoldenSpec"`.
   */
 class PlanGoldenSpec extends AnyFunSuite with SparkSuite {
 
@@ -28,10 +32,18 @@ class PlanGoldenSpec extends AnyFunSuite with SparkSuite {
 
   private def normalize(s: String): String =
     s.linesIterator
-      .takeWhile(_.trim.nonEmpty) // tree section only (details follow a blank)
+      // final-plan tree only: stop at the Initial Plan echo or the
+      // blank line before the per-operator details
+      .takeWhile(l => l.trim.nonEmpty && !l.contains("== Initial Plan =="))
       .mkString("\n")
       .replaceAll("#\\d+", "#N")
       .replaceAll("plan_id=\\d+", "plan_id=N")
+      // runtime row/byte statistics are input-layout noise, not shape
+      .replaceAll(", Statistics\\(sizeInBytes=[^)]*\\)", "")
+      // operator ids count nodes across BOTH the final plan and the
+      // initial-plan echo, so warm-session AQE state shifts them —
+      // the tree's structure is the indentation + operator names
+      .replaceAll("\\(\\d+\\)", "(#)")
       .trim + "\n"
 
   private def planOf(name: String): String = {
@@ -41,6 +53,10 @@ class PlanGoldenSpec extends AnyFunSuite with SparkSuite {
     // golden would depend on suite execution order — plan the cold tree
     spark.catalog.clearCache()
     val df = SparkEntry.queries(name)(spark, sfDir)
+    // collect(), not count(): count() builds its OWN QueryExecution;
+    // collect() finalizes THIS one, so AQE's runtime shape
+    // (ReusedExchange, final joins) lands in the golden
+    df.collect()
     normalize(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
   }
 
