@@ -779,6 +779,21 @@ object Queries {
       oracle = Some(Similarity.ivfTopKOracleSql(
         "embeddings", "vec_id", "embedding", 5, 10L))),
 
+    // K-means-refined IVF: Lloyd iterations (integer-exact micros
+    // arithmetic, truncating integer-division means, nano-cosine
+    // argmin) over the hash-rank seeds — the trained-quantizer upgrade;
+    // the oracle replays the SAME iterations as unrolled CTEs, so the
+    // codebook and list assignment reproduce bit-for-bit.
+    "ann_ivf_kmeans_topk" -> QueryDef(
+      run = (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.ivfTopKTrained(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .select("query_id", "neighbor_id", "rank")
+      },
+      oracle = Some(Similarity.ivfKmeansOracleSql(
+        "embeddings", "vec_id", "embedding", 5, 10L))),
+
     // Scale path of embedding dedup: LSH bucket blocking instead of the
     // label block — the variant a 100 TB corpus actually runs.
     "dedup_embedding_lsh" -> QueryDef(

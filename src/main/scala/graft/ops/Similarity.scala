@@ -327,11 +327,21 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16,
-              nprobe: Int = 3): DataFrame = {
+              nprobe: Int = 3): DataFrame =
+    ivfQuery(corpus, queries, idCol, vecCol, k, nprobe,
+             ivfCentroids(corpus, idCol, vecCol, nlist))
+
+  /** The IVF probe path against an arbitrary codebook
+    * (cent_id, centv: array<double>, centn): assign corpus vectors to
+    * their nearest centroid, probe each query's `nprobe` nearest lists,
+    * exact rank within.
+    */
+  private def ivfQuery(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, nprobe: Int,
+                       cents: DataFrame): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
     def nearest(df: DataFrame, vec: String, nrm: String, idc: String,
                 keep: Int): DataFrame = {
       val w = Window.partitionBy(idc)
@@ -414,6 +424,179 @@ object Similarity {
        |         ORDER BY score_nanos DESC, neighbor_id) AS INT) AS rank
        |FROM scored
        |QUALIFY rank <= $k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // K-means-refined IVF (Lloyd iterations over the hash-rank seeds)
+  // ------------------------------------------------------------------
+
+  /** Lloyd-refined codebook: `iters` k-means iterations over the
+    * micro-quantized corpus, seeded by [[ivfCentroids]]'s hash-rank
+    * sample. Every step is engine-portable so the trained codebook —
+    * and therefore list assignment — reproduces bit-for-bit in DuckDB:
+    * components quantized to integral micros (`floor(x·1e6)` longs),
+    * per-cluster means by exact BIGINT sums + truncating integer
+    * division (Spark `DIV` ≡ DuckDB `//`), affinity by nano-quantized
+    * cosine with cent_id tie-break, empty clusters keep their previous
+    * centroid.
+    *
+    * Scale shape: each iteration is ONE corpus scan × broadcast(nlist
+    * centroids) — the same O(n·nlist) map work as a single assignment
+    * pass — plus a (cent_id, dim) partial-agg whose exchange carries
+    * ≤ nlist·dims rows. Training cost = iters assignment passes,
+    * explicitly bounded; nlist stays a constant knob.
+    * Output: (cent_id, cq: array&lt;long&gt;).
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int, dims: Int): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("_vid"),
+        transform(asDouble(col(vecCol)),
+                  x => floor(x * lit(1e6)).cast("long")).as("vq"))
+      .withColumn("vqd", col("vq").cast("array<double>"))
+      .withColumn("nv", norm(col("vqd")))
+    var cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+      .select(col("cent_id"),
+        transform(col("centv"), x => floor(x * lit(1e6)).cast("long")).as("cq"))
+    for (_ <- 0 until iters) {
+      val c = cents
+        .withColumn("cqd", col("cq").cast("array<double>"))
+        .withColumn("nc", norm(col("cqd")))
+        .select("cent_id", "cqd", "nc")
+      val w = Window.partitionBy("_vid")
+        .orderBy(col("cscore").desc, col("cent_id"))
+      // micros-quantized dots are integer-valued doubles < 2^53: exact,
+      // so the fold order is irrelevant and both engines agree
+      val assigned = vecs.crossJoin(broadcast(c))
+        .withColumn("cscore",
+          floor(dot(col("vqd"), col("cqd")) / (col("nv") * col("nc"))
+            * lit(1e9)).cast("long"))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") === 1)
+        .select("cent_id", "vq")
+      val sums = assigned.select(col("cent_id"), posexplode(col("vq")))
+        .groupBy("cent_id", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("cnt"))
+        .withColumn("m", expr("s DIV cnt"))
+      val means = sums.groupBy("cent_id")
+        .agg(map_from_entries(collect_list(struct(col("pos"), col("m"))))
+          .as("_mm"))
+        .withColumn("cq_new",
+          transform(sequence(lit(0), lit(dims - 1)),
+                    d => element_at(col("_mm"), d.cast("int"))))
+        .select("cent_id", "cq_new")
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .withColumn("cq", coalesce(col("cq_new"), col("cq")))
+        .select("cent_id", "cq")
+    }
+    cents
+  }
+
+  /** IVF top-k over the k-means-refined codebook — same probe shape as
+    * [[ivfTopK]], inverted lists from the trained centroids (the
+    * production upgrade over raw seed sampling: tighter lists, better
+    * recall per probe).
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nlist: Int = 16,
+                     nprobe: Int = 3, iters: Int = 2,
+                     dims: Int = 64): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, iters, dims)
+      .withColumn("centv", col("cq").cast("array<double>"))
+      .withColumn("centn", norm(col("centv")))
+      .select("cent_id", "centv", "centn")
+    ivfQuery(corpus, queries, idCol, vecCol, k, nprobe, cents)
+  }
+
+  /** DuckDB oracle for [[ivfTopKTrained]] with `queries = id <
+    * maxQueryId` — the Lloyd iterations unrolled as CTE pairs
+    * (assign_i, cents_{i+1}), then the standard IVF probe tail.
+    */
+  def ivfKmeansOracleSql(table: String, idCol: String, vecCol: String,
+                         k: Int, maxQueryId: Long, nlist: Int = 16,
+                         nprobe: Int = 3, iters: Int = 2,
+                         dims: Int = 64): String = {
+    def d(e: String) = s"list_transform($e, x -> CAST(x AS DOUBLE))"
+    def nrm(e: String) =
+      s"sqrt(list_sum(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    def dotq(a: String, b: String) =
+      s"list_sum(list_transform(list_zip(${d(a)}, ${d(b)}), p -> p[1] * p[2]))"
+    val iterCtes = (0 until iters).map { i =>
+      s"""asg$i AS (
+         |  SELECT id, vq, cent_id,
+         |         row_number() OVER (PARTITION BY id ORDER BY
+         |           CAST(floor(${dotq("b.vq", "c.cq")}
+         |             / (${nrm("b.vq")} * ${nrm("c.cq")}) * 1e9) AS BIGINT)
+         |           DESC, cent_id) AS crk
+         |  FROM base b CROSS JOIN cents$i c
+         |),
+         |sums$i AS (
+         |  SELECT cent_id, t.i AS pos, CAST(sum(vq[t.i]) AS BIGINT) AS s,
+         |         count(*) AS cnt
+         |  FROM asg$i CROSS JOIN generate_series(1, $dims) AS t(i)
+         |  WHERE crk = 1
+         |  GROUP BY 1, 2
+         |),
+         |cents${i + 1} AS (
+         |  SELECT c.cent_id, coalesce(n.cq, c.cq) AS cq
+         |  FROM cents$i c
+         |  LEFT JOIN (SELECT cent_id, list(s // cnt ORDER BY pos) AS cq
+         |             FROM sums$i GROUP BY cent_id) n USING (cent_id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT $idCol AS id, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS v,
+       |         ${nrm(vecCol)} AS nrm,
+       |         list_transform($vecCol,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vq
+       |  FROM $table
+       |),
+       |cents0 AS (
+       |  SELECT id AS cent_id, vq AS cq FROM base
+       |  ORDER BY ${graft.functions.Portable.hash60Sql("CAST(id AS VARCHAR)")}, id
+       |  LIMIT $nlist
+       |),
+       |$iterCtes,
+       |cents AS (
+       |  SELECT cent_id, ${d("cq")} AS centv, ${nrm("cq")} AS centn
+       |  FROM cents$iters
+       |),
+       |aff AS (
+       |  SELECT base.id, cents.cent_id,
+       |         CAST(floor(
+       |           list_sum(list_transform(list_zip(base.v, cents.centv),
+       |                                   p -> p[1] * p[2]))
+       |           / (base.nrm * cents.centn) * 1e9) AS BIGINT) AS cscore
+       |  FROM base CROSS JOIN cents
+       |),
+       |ranked AS (
+       |  SELECT id, cent_id,
+       |         row_number() OVER (PARTITION BY id
+       |           ORDER BY cscore DESC, cent_id) AS crk
+       |  FROM aff
+       |),
+       |assigned AS (SELECT id, cent_id FROM ranked WHERE crk = 1),
+       |probes AS (
+       |  SELECT id AS query_id, cent_id FROM ranked
+       |  WHERE crk <= $nprobe AND id < $maxQueryId
+       |),
+       |cand AS (
+       |  SELECT DISTINCT probes.query_id, assigned.id AS neighbor_id
+       |  FROM probes JOIN assigned ON assigned.cent_id = probes.cent_id
+       |  WHERE assigned.id <> probes.query_id
+       |),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(floor(
+       |           list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+       |           / (q.nrm * c.nrm) * 1e9) AS BIGINT) AS score_nanos
+       |  FROM cand JOIN base q ON q.id = cand.query_id
+       |            JOIN base c ON c.id = cand.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY score_nanos DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+  }
 
   /** All (table, bucket) keys of a vector, as an array column —
     * exploded into the blocking-key stream.

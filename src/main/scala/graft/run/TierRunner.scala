@@ -265,20 +265,33 @@ final class TierRunner(spark: SparkSession, root: String,
     * the dropped partition keys per tier.
     */
   def applyRetention(keepDays: Map[TierSpec, Int],
-                     keepSnapshots: Int = 2): Map[String, Set[String]] =
-    keepDays.map { case (t, days) =>
-      val tbl = tableFor(t)
-      val keys = tbl.partitionKeys.map(_.toLong)
-      val dropped =
-        if (keys.isEmpty) Set.empty[String]
-        else {
-          val cutoff = keys.max - days.toLong * TierSpec.T1d.seconds
-          val d = tbl.commitRetention(_.toLong >= cutoff)
-          tbl.expireSnapshots(keepSnapshots)
-          d
-        }
-      t.name -> dropped
+                     keepSnapshots: Int = 2,
+                     keepBlockDays: Option[Int] = None,
+                     keepRawDays: Option[Int] = None): Map[String, Set[String]] = {
+    val tiers = keepDays.map { case (t, days) =>
+      t.name -> dropOld(tableFor(t), days, keepSnapshots)
     }
+    // the Gorilla block table and the raw day table age out on their
+    // own horizons (blocks usually share the 5m tier's; raw is the
+    // replay/backfill buffer) — both day-partitioned, same manifest-only
+    // mechanism
+    val extra =
+      keepBlockDays.map(d => "blocks" -> dropOld(blocksTable, d, keepSnapshots)) ++
+      keepRawDays.map(d => "raw" -> dropOld(rawTable, d, keepSnapshots))
+    tiers ++ extra
+  }
+
+  private def dropOld(tbl: TierTable, days: Int,
+                      keepSnapshots: Int): Set[String] = {
+    val keys = tbl.partitionKeys.map(_.toLong)
+    if (keys.isEmpty) Set.empty[String]
+    else {
+      val cutoff = keys.max - days.toLong * TierSpec.T1d.seconds
+      val d = tbl.commitRetention(_.toLong >= cutoff)
+      tbl.expireSnapshots(keepSnapshots)
+      d
+    }
+  }
 
   /** Read a tier's current snapshot. */
   def tier(t: TierSpec): DataFrame = tableFor(t).read()

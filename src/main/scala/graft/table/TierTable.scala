@@ -233,6 +233,35 @@ final class TierTable(val root: String, spark: SparkSession) {
     dropped.keySet
   }
 
+  /** Rewrite the given partitions' data into at most `filesPerPartition`
+    * files each — the Iceberg rewrite-data-files maintenance analog for
+    * partitions written at wide parallelism (hundreds of task files per
+    * day at cluster scale; small-file pressure on every downstream
+    * scan). Content is untouched: the new snapshot's per-partition rows
+    * and order-insensitive checksums equal the old one's (spec-pinned).
+    * Copy-on-write: untouched partitions carry forward; the replaced
+    * directories are reclaimed by [[expireSnapshots]].
+    */
+  def compactPartitions(partitions: Set[String],
+                        filesPerPartition: Int = 1): Manifest = {
+    require(filesPerPartition >= 1, "need at least one file per partition")
+    val m = currentManifest.getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val present = partitions.filter(k =>
+      m.partitions.get(k).exists(_.path.nonEmpty))
+    if (present.isEmpty) return m
+    // hash-cluster on the partition column over filesPerPartition
+    // tasks: each task writes ≤1 file per partition value it holds, so
+    // every partition lands in ≤ filesPerPartition files
+    val df = readManifest(m, Some(present))
+      .repartition(filesPerPartition, col(m.partitionCol))
+    commitOverwrite(df, m.partitionCol,
+      present.map(k => k -> (m.partitions(k).lineage match {
+        case Some(l) => l.copy(status = "compacted")
+        case None    => PartitionLineage(m.snapshot, "compacted")
+      })).toMap)
+  }
+
   /** Roll the table back to an earlier snapshot (Iceberg
     * rollback-to-snapshot analog): CURRENT is atomically repointed; no
     * data or manifests are touched, so the abandoned snapshots remain

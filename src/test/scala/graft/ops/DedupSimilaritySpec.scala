@@ -154,6 +154,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("k-means IVF: trained codebook bounded + deterministic, recall holds") {
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2, 64)
+    assert(cents.count() == 16)
+    assert(cents.filter(size(col("cq")) =!= 64).isEmpty)
+    // deterministic under repartition (integer-exact Lloyd iterations)
+    val again = Similarity.kmeansCentroids(emb.repartition(13),
+                                           "vec_id", "embedding", 16, 2, 64)
+    assert(cents.exceptAll(again).isEmpty && again.exceptAll(cents).isEmpty,
+      "trained codebook is shuffle-order dependent")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").cache()
+    val ivf = Similarity.ivfTopKTrained(emb, queries, "vec_id", "embedding", 5,
+                                        nprobe = 6).cache()
+    val hit = exact.join(ivf.select("query_id", "neighbor_id"),
+                         Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall > 0.4, f"trained-IVF recall $recall%.2f too low")
+    assert(ivf.filter(col("rank") < 1 || col("rank") > 5).isEmpty)
+    exact.unpersist(); ivf.unpersist()
+  }
+
   test("native dot product is bit-identical to the built-in fold it replaces") {
     val v = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))

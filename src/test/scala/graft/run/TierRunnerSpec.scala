@@ -255,6 +255,56 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
       s"unreferenced snapshot dirs not reclaimed: ${dirs -- referenced}")
   }
 
+  test("retention covers the blocks and raw tables on their own horizons") {
+    val root = tmpRoot()
+    val runner = new TierRunner(spark, root)
+    runner.run("r1", runner.ingest(WebPages.load(spark, sfDir)))
+    val blocks = new graft.table.TierTable(s"$root/blocks_5m", spark)
+    val raw = new graft.table.TierTable(s"$root/tier_raw", spark)
+    val blocksBefore = blocks.partitionKeys.map(_.toLong)
+    val rawBefore = raw.partitionKeys.map(_.toLong)
+    assert(blocksBefore.size > 20 && rawBefore.size > 20)
+
+    val dropped = runner.applyRetention(Map.empty, keepSnapshots = 1,
+      keepBlockDays = Some(7), keepRawDays = Some(14))
+    val bCut = blocksBefore.max - 7L * 86400L
+    val rCut = rawBefore.max - 14L * 86400L
+    assert(blocks.partitionKeys.map(_.toLong) == blocksBefore.filter(_ >= bCut))
+    assert(raw.partitionKeys.map(_.toLong) == rawBefore.filter(_ >= rCut))
+    assert(dropped("blocks").map(_.toLong) == blocksBefore.filter(_ < bCut))
+    assert(dropped("raw").map(_.toLong) == rawBefore.filter(_ < rCut))
+    // surviving blocks still decode
+    assert(runner.decodedBlocks().count() > 0)
+  }
+
+  test("compactPartitions: fewer files, identical rows and checksums") {
+    val root = tmpRoot()
+    val runner = new TierRunner(spark, root)
+    runner.run("r1", runner.ingest(WebPages.load(spark, sfDir)))
+    val t5m = new graft.table.TierTable(s"$root/tier_5m", spark)
+    val before = t5m.currentManifest.get
+    val keys = t5m.partitionKeys.take(5)
+
+    def fileCount(m: graft.table.Manifest, k: String): Int =
+      new java.io.File(s"$root/tier_5m/${m.partitions(k).path}")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+
+    val after = t5m.compactPartitions(keys, filesPerPartition = 1)
+    for (k <- keys) {
+      assert(fileCount(after, k) == 1, s"partition $k not compacted")
+      // content untouched: rows + order-insensitive checksum identical
+      assert(after.partitions(k).rows == before.partitions(k).rows)
+      assert(after.partitions(k).checksum == before.partitions(k).checksum,
+        s"compaction changed partition $k's content checksum")
+      assert(after.partitions(k).lineage.exists(_.status == "compacted"))
+    }
+    // untouched partitions carried forward verbatim
+    for (k <- t5m.partitionKeys -- keys)
+      assert(after.partitions(k) == before.partitions(k))
+    // the table still reads end-to-end
+    assert(t5m.read().count() == before.totalRows)
+  }
+
   test("skew mode (saltBuckets) produces identical tiers to the default runner") {
     val pages = WebPages.load(spark, sfDir)
       .filter(col("warc_epoch") < 1704672000L) // first 7 days: keep it quick
