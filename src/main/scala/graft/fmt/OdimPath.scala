@@ -75,15 +75,33 @@ object OdimPath {
   /** All parsed components as named columns, in the reference's return
     * order (radar_code, data_type, year, month, day, hour, minute,
     * file_name) plus the derived country/radar split.
+    *
+    * ONE regex execution per row, not one per field: the match is
+    * rendered once as all 7 groups joined on an unlikely delimiter
+    * (`regexp_replace` + split; a trailing delimiter isolates any
+    * unmatched suffix into a discarded 8th slot), and every output
+    * column indexes the same array — whole-stage codegen's
+    * subexpression elimination evaluates the shared parse once. The
+    * per-field accessors above stay regexp_extract for ad-hoc use;
+    * `filename_parse` pins both shapes equal against the oracle's
+    * per-group extraction.
     */
-  def parse(path: Column): Seq[Column] = Seq(
-    radarCode(path).as("radar_code"),
-    dataType(path).as("data_type"),
-    year(path).as("year"), month(path).as("month"), day(path).as("day"),
-    hour(path).as("hour"), minute(path).as("minute"),
-    fileName(path).as("file_name"),
-    country(path).as("country"),
-    radar(path).as("radar"))
+  def parse(path: Column): Seq[Column] = {
+    val delim = "\u0001"
+    val g = split(
+      regexp_replace(path, Re, (1 to 7).map("$" + _).mkString(delim) + delim),
+      delim)
+    val rc = lower(g.getItem(0))
+    Seq(
+      rc.as("radar_code"),
+      g.getItem(1).as("data_type"),
+      g.getItem(2).as("year"), g.getItem(3).as("month"),
+      g.getItem(4).as("day"),
+      g.getItem(5).as("hour"), g.getItem(6).as("minute"),
+      fileName(path).as("file_name"),
+      substring(rc, 1, 2).as("country"),
+      substring(rc, 3, 3).as("radar"))
+  }
 
   /** DuckDB mirror of [[parse]] over a path expression (RE2 reproduces
     * the greedy submatches — pinned by the `filename_parse` oracle).
