@@ -71,7 +71,8 @@ object Bench {
     "dedup_simhash", "dedup_simhash_pairs",
     "dedup_embedding_lsh", "corpus_filter", "corpus_sample", "corpus_mix",
     "decontaminate",
-    "text_stats", "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "mm_features")
+    "text_stats", "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_ivf_kmeans_topk", "mm_features")
   // Deliberately NOT bench keys: dedup_incremental / tier_incremental
   // (lifecycle ops dominated by scratch-table commit round-trips) and
   // dedup_clusters / corpus_pipeline (driver-iterated component
