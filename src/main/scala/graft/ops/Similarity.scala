@@ -483,9 +483,14 @@ object Similarity {
           transform(sequence(lit(0), lit(dims - 1)),
                     d => element_at(col("_mm"), d.cast("int"))))
         .select("cent_id", "cq_new")
+      // cut lineage per iteration (the Components precedent): the
+      // cents subtree is referenced several times by the next level,
+      // so without a cut the plan re-evaluates earlier iterations'
+      // corpus×nlist assignments multiply per level. nlist rows only.
       cents = cents.join(means, Seq("cent_id"), "left")
         .withColumn("cq", coalesce(col("cq_new"), col("cq")))
         .select("cent_id", "cq")
+        .localCheckpoint(true)
     }
     cents
   }
