@@ -436,6 +436,62 @@ object Queries {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
       oracle = Some(TextStats.statsOracleSql(docsCte, "docs", "doc_id", "text"))),
 
+    // PII scrubbing (C4/RefinedWeb hygiene): deterministic PII is
+    // injected per row on BOTH engines (the corpus itself is clean), the
+    // scrubber replaces email/IP/phone shapes with typed tokens, and the
+    // audit counts gate the result value-for-value. Pure narrow map.
+    "text_scrub" -> QueryDef(
+      run = (s, dir) => {
+        val pii = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10.0."),
+          (col("doc_id") % 256L).cast("string"),
+          lit(".7 call 555-010-1234"))
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(Seq(col("doc_id"),
+                      TextStats.scrubPii(pii).as("scrubbed")) ++
+                  TextStats.piiCounts(pii): _*)
+      },
+      oracle = Some {
+        val pii = "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
+          "'@mail.example.com from 10.0.', CAST(doc_id % 256 AS VARCHAR), " +
+          "'.7 call 555-010-1234')"
+        s"""$docsCte
+           |SELECT doc_id,
+           |       ${TextStats.scrubPiiSql(pii)} AS scrubbed,
+           |       ${TextStats.piiCountsSql(pii).mkString(",\n       ")}
+           |FROM docs""".stripMargin
+      }),
+
+    // Gopher/MassiveText repetition rules: duplicate-chunk fraction +
+    // top-bigram mass, per document, in-row (no shuffle) — with the
+    // keep-gate thresholds applied the way a curation pipeline would.
+    "text_quality_rep" -> QueryDef(
+      run = (s, dir) =>
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id") +: TextStats.repetitionCols(col("text")): _*)
+          .withColumn("keep",
+            col("dup_chunk_milli") < 300L && col("top_bigram_milli") < 180L),
+      oracle = Some(
+        s"""$docsCte,
+           |r AS (
+           |  SELECT doc_id,
+           |         ${TextStats.repetitionColsSql("text")
+                 .mkString(",\n").replace("\n", "\n         ")}
+           |  FROM docs
+           |)
+           |SELECT doc_id, n_chunks, dup_chunk_milli, n_bigrams,
+           |       top_bigram_milli,
+           |       (dup_chunk_milli < 300 AND top_bigram_milli < 180) AS keep
+           |FROM r""".stripMargin)),
+
+    // C4-style chunk-level dedup signal: per-doc share of 8-word chunks
+    // that also appear in another document (boilerplate / mirror pages).
+    "dedup_chunks" -> QueryDef(
+      run = (s, dir) => Dedup.chunkShared(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
+      oracle = Some(Dedup.chunkSharedSql(docsCte, "docs", "doc_id", "text"))),
+
     // End-of-pipeline training-set selection: the curation ops COMPOSE —
     // exact-dup canonical representative (min id per fingerprint) ∧
     // quality floor ∧ confident language id, in one plan (one window

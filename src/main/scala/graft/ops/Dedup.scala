@@ -405,4 +405,54 @@ object Dedup {
        |JOIN sizes sa ON sa._id = id_a
        |JOIN sizes sb ON sb._id = id_b
        |WHERE (inter * 1000) // (sa.sz + sb.sz - inter) >= $thresholdMilli""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Chunk-level exact dedup (C4-style line dedup, generalized to
+  // k-word chunks for newline-free text)
+  // ------------------------------------------------------------------
+
+  /** Per-document share of text chunks that also appear in ANOTHER
+    * document — the boilerplate/mirror signal line-level dedup gives a
+    * web corpus. Plan shape: one generator (chunks → 60-bit hashes),
+    * distinct (doc, chunk-hash) pairs, a chunk-hash frequency agg
+    * (partial-agg; the exchange carries distinct chunk hashes, never
+    * raw text), and a join back keyed on the same hash — after
+    * distinct, per-hash row count IS the distinct-document count.
+    * Output: (idCol, n_chunks_distinct, n_shared, shared_milli).
+    */
+  def chunkShared(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8): DataFrame = {
+    val dc = df.select(col(idCol).as("_id"),
+        explode(TextStats.wordChunks(col(textCol), k)).as("chunk"))
+      .select(col("_id"), Portable.hash60(col("chunk")).as("_ch"))
+      .distinct()
+    val freq = dc.groupBy("_ch").agg(count(lit(1)).as("_docs"))
+    dc.join(freq, Seq("_ch"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_chunks_distinct"),
+           sum(when(col("_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_milli",
+        expr("(n_shared * 1000) DIV n_chunks_distinct"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** DuckDB mirror of [[chunkShared]]. */
+  def chunkSharedSql(fromCte: String, table: String, idCol: String,
+                     textCol: String, k: Int = 8): String =
+    s"""$fromCte,
+       |dc AS (
+       |  SELECT DISTINCT $idCol AS _id, ${Portable.hash60Sql("chunk")} AS _ch
+       |  FROM (SELECT $idCol,
+       |               unnest(${TextStats.wordChunksSql(textCol, k)
+                 .replace("\n", "\n               ")}) AS chunk
+       |        FROM $table)
+       |),
+       |freq AS (SELECT _ch, count(*) AS _docs FROM dc GROUP BY 1)
+       |SELECT _id AS $idCol,
+       |       CAST(count(*) AS BIGINT) AS n_chunks_distinct,
+       |       CAST(sum(CASE WHEN _docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |       CAST((sum(CASE WHEN _docs > 1 THEN 1 ELSE 0 END) * 1000)
+       |            // count(*) AS BIGINT) AS shared_milli
+       |FROM dc JOIN freq USING (_ch)
+       |GROUP BY 1""".stripMargin
 }

@@ -111,6 +111,124 @@ object TextStats {
   def tokenCountBpeSql(expr: String): String =
     s"CAST(len(regexp_extract_all($expr, '$bpeRegex')) AS BIGINT)"
 
+  // ------------------------------------------------------------------
+  // PII scrubbing (C4/RefinedWeb-style pre-training hygiene)
+  // ------------------------------------------------------------------
+
+  /** (kind, pattern, replacement) in application order. Patterns stay
+    * in the Java∩RE2 portable subset (no lookarounds, no backrefs) so
+    * Spark and DuckDB scrub identically.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b", "<PHONE>"))
+
+  /** Replace emails / IPv4s / phone-shaped numbers with typed tokens,
+    * in fixed order (an IP inside an already-scrubbed email cannot
+    * re-match — order is part of the contract). Narrow codegen'd map
+    * work: scrubbing 10^12 documents is scan-speed.
+    */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, re, tok)) =>
+      regexp_replace(c, re, tok)
+    }
+
+  /** DuckDB mirror — NOTE the 'g' flag: DuckDB's regexp_replace is
+    * first-match-only by default, Spark's replaces all.
+    */
+  def scrubPiiSql(expr: String): String =
+    piiPatterns.foldLeft(expr) { case (e, (_, re, tok)) =>
+      s"regexp_replace($e, '$re', '$tok', 'g')"
+    }
+
+  /** Per-kind match counts (audit channel of the scrubber). */
+  def piiCounts(text: Column): Seq[Column] =
+    piiPatterns.map { case (kind, re, _) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+        .as(s"n_$kind")
+    }
+
+  def piiCountsSql(expr: String): Seq[String] =
+    piiPatterns.map { case (kind, re, _) =>
+      s"CAST(len(regexp_extract_all($expr, '$re')) AS BIGINT) AS n_$kind"
+    }
+
+  // ------------------------------------------------------------------
+  // Repetition stats (Gopher/MassiveText-style quality rules)
+  // ------------------------------------------------------------------
+
+  /** Non-overlapping `k`-word chunks of single-space text (the
+    * line-granularity analog for newline-free corpora; the tail chunk
+    * may be shorter).
+    */
+  def wordChunks(text: Column, k: Int): Column = {
+    val words = split(text, " ")
+    val n = size(words)
+    // ceil-div via cast (Column `/` is double division); n >= 1 always
+    // (split of "" is [""]), so the sequence never descends
+    val nChunks = ((n + lit(k - 1)) / lit(k)).cast("int")
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(words, i * k + 1, lit(k))))
+  }
+
+  def wordChunksSql(expr: String, k: Int): String =
+    s"""list_transform(
+       |  generate_series(0, CAST((len(string_split($expr, ' ')) + ${k - 1}) // $k - 1 AS BIGINT)),
+       |  i -> array_to_string(string_split($expr, ' ')[(i * $k + 1):(i * $k + $k)], ' '))""".stripMargin
+
+  /** Gopher-style repetition measures, integral milli-units, all
+    * computed IN-ROW (no shuffle): duplicate-chunk fraction over
+    * non-overlapping `k`-word chunks, and the fraction of all bigrams
+    * taken by the most frequent bigram. The per-row bigram mode is
+    * O(distinct·total) array work bounded by document length — still
+    * scan-local map work at corpus scale.
+    */
+  def repetitionCols(text: Column, k: Int = 8): Seq[Column] = {
+    val chunks = wordChunks(text, k)
+    val nc = size(chunks).cast("long")
+    val distinctC = size(array_distinct(chunks)).cast("long")
+    // floor(double /) matches DuckDB `//` here: operands are tiny
+    // per-document counts, far below 2^53
+    val dup = when(nc > 0, ((nc - distinctC) * 1000L) / nc).otherwise(0.0)
+    val words = split(text, " ")
+    val nw = size(words)
+    // guard nw < 2: sequence(1, 0) DESCENDS in Spark (and element_at 0
+    // errors under ANSI), while DuckDB's generate_series is empty
+    val bigrams = when(nw >= 2,
+      transform(sequence(lit(1), nw - 1),
+        i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val nbg = size(bigrams).cast("long")
+    val topCount = array_max(transform(array_distinct(bigrams),
+      b => size(filter(bigrams, x => x === b))))
+    val topMilli = when(nbg > 0, (topCount.cast("long") * 1000L) / nbg)
+      .otherwise(0.0)
+    Seq(nc.as("n_chunks"),
+        floor(dup).cast("long").as("dup_chunk_milli"),
+        nbg.as("n_bigrams"),
+        floor(topMilli).cast("long").as("top_bigram_milli"))
+  }
+
+  def repetitionColsSql(expr: String, k: Int = 8): Seq[String] = {
+    val chunks = wordChunksSql(expr, k).replace("\n", "\n  ")
+    val nw = s"len(string_split($expr, ' '))"
+    val bigrams =
+      s"""list_transform(generate_series(1, CAST($nw - 1 AS BIGINT)),
+         |  i -> concat(string_split($expr, ' ')[i], ' ', string_split($expr, ' ')[i + 1]))""".stripMargin
+        .replace("\n", "\n  ")
+    Seq(
+      s"CAST(len($chunks) AS BIGINT) AS n_chunks",
+      s"""CAST(CASE WHEN len($chunks) > 0
+         |     THEN ((len($chunks) - len(list_distinct($chunks))) * 1000) // len($chunks)
+         |     ELSE 0 END AS BIGINT) AS dup_chunk_milli""".stripMargin,
+      s"CAST(len($bigrams) AS BIGINT) AS n_bigrams",
+      s"""CAST(CASE WHEN len($bigrams) > 0
+         |     THEN (list_max(list_transform(list_distinct($bigrams),
+         |            b -> len(list_filter($bigrams, x -> x = b)))) * 1000) // len($bigrams)
+         |     ELSE 0 END AS BIGINT) AS top_bigram_milli""".stripMargin)
+  }
+
   /** Full per-document stats projection. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the curation-hygiene operators (the oracle
+  * queries gate distributed parity; these pin the rules themselves on
+  * crafted inputs).
+  */
+class TextCurationSpec extends AnyFunSuite with SparkSuite {
+
+  test("PII scrub: email/IP/phone replaced, clean text untouched, counts audit") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to jane.doe+x@corp.example.org today"),
+      (2L, "server 192.168.0.17 answered"),
+      (3L, "call 555-0100-1234 or 555-010-1234"),
+      (4L, "perfectly clean text with no identifiers")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TextStats.scrubPii(col("t")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "write to <EMAIL> today")
+    assert(out(2L) == "server <IP> answered")
+    assert(out(3L) == "call <PHONE> or <PHONE>")
+    assert(out(4L) == "perfectly clean text with no identifiers")
+    val counts = df.select(col("id") +: TextStats.piiCounts(col("t")): _*)
+      .filter(col("id") === 3L).head()
+    assert(counts.getAs[Long]("n_phone") == 2L &&
+           counts.getAs[Long]("n_email") == 0L)
+  }
+
+  test("repetition stats: repeated chunks and dominant bigrams are flagged") {
+    import spark.implicits._
+    val chunk = "a b c d e f g h" // exactly one 8-word chunk
+    val df = Seq(
+      (1L, Seq.fill(4)(chunk).mkString(" ")),  // 4 identical chunks
+      (2L, (1 to 32).map(i => s"w$i").mkString(" ")), // all distinct
+      (3L, ("x y " * 16).trim)                 // one bigram dominates
+    ).toDF("id", "t")
+    val out = df.select(col("id") +: TextStats.repetitionCols(col("t")): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("dup_chunk_milli"),
+          r.getAs[Long]("top_bigram_milli")))).toMap
+    assert(out(1L)._1 == 4L && out(1L)._2 == 750L, out(1L).toString)
+    assert(out(2L)._2 == 0L && out(2L)._3 < 100L)
+    assert(out(3L)._3 > 400L, s"dominant bigram not flagged: ${out(3L)}")
+    // degenerate inputs don't crash (single word: zero bigrams)
+    val tiny = Seq((9L, "solo")).toDF("id", "t")
+      .select(col("id") +: TextStats.repetitionCols(col("t")): _*).head()
+    assert(tiny.getAs[Long]("n_bigrams") == 0L &&
+           tiny.getAs[Long]("top_bigram_milli") == 0L)
+  }
+
+  test("chunk dedup: shared chunks across docs detected, within-doc repeats don't count") {
+    import spark.implicits._
+    val shared = "p q r s t u v w"
+    val df = Seq(
+      (1L, s"$shared one two three four five six seven eight"),
+      (2L, s"$shared alpha beta gamma delta eps zeta eta theta"),
+      (3L, s"$shared $shared"), // repeats the shared chunk internally
+      (4L, "totally unrelated words in this document here now")
+    ).toDF("id", "t")
+    val out = Dedup.chunkShared(df, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_chunks_distinct"), r.getAs[Long]("n_shared"),
+          r.getAs[Long]("shared_milli")))).toMap
+    assert(out(1L) == ((2L, 1L, 500L)), out(1L).toString)
+    assert(out(2L) == ((2L, 1L, 500L)))
+    // doc 3: both chunks are the SAME shared chunk → 1 distinct, shared
+    assert(out(3L) == ((1L, 1L, 1000L)))
+    assert(out(4L) == ((1L, 0L, 0L)))
+  }
+}
