@@ -485,6 +485,21 @@ object Queries {
            |       (dup_chunk_milli < 300 AND top_bigram_milli < 180) AS keep
            |FROM r""".stripMargin)),
 
+    // Sequence packing (the training-data layout step): global token
+    // prefix-sum → fixed 512-token sequence ids/offsets per document.
+    // The GATED form is the skew-safe bucketed two-phase prefix sum (no
+    // global sort); spec-pinned identical to the one-window form.
+    "corpus_pack" -> QueryDef(
+      run = (s, dir) => {
+        val d = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            graft.functions.Portable.tokenCount(col("text")).as("n_tokens"))
+        graft.ops.Pack.packBucketed(d, "doc_id", "n_tokens", 512L, 64L)
+      },
+      oracle = Some(graft.ops.Pack.packOracleSql(
+        s"SELECT doc_id, ${graft.functions.Portable.tokenCountSql("text")} AS n_tokens FROM documents",
+        "doc_id", "n_tokens", 512L))),
+
     // C4-style chunk-level dedup signal: per-doc share of 8-word chunks
     // that also appear in another document (boilerplate / mirror pages).
     "dedup_chunks" -> QueryDef(

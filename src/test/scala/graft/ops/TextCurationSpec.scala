@@ -52,6 +52,34 @@ class TextCurationSpec extends AnyFunSuite with SparkSuite {
            tiny.getAs[Long]("top_bigram_milli") == 0L)
   }
 
+  test("sequence packing: bucketed == global window at any bucket size; spans exact") {
+    import spark.implicits._
+    val d = Seq((0L, 300L), (1L, 300L), (2L, 600L), (3L, 12L), (10L, 500L))
+      .toDF("id", "nt")
+    val cols = Seq("id", "nt", "start_offset", "seq_id", "seq_offset",
+                   "end_seq_id").map(col)
+    val global = Pack.pack(d, "id", "nt", 512L).select(cols: _*)
+    for (b <- Seq(1L, 2L, 7L, 100L)) {
+      val bk = Pack.packBucketed(d, "id", "nt", 512L, b).select(cols: _*)
+      assert(bk.exceptAll(global).isEmpty && global.exceptAll(bk).isEmpty,
+        s"packBucketed($b) != global pack")
+    }
+    val got = global.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+                                  r.getLong(5)))).toMap
+    assert(got(0L) == ((0L, 0L, 0L, 0L)))
+    // doc 1 starts at 300, crosses the 512 boundary → spans seqs 0-1
+    assert(got(1L) == ((300L, 0L, 300L, 1L)))
+    // doc 2 starts at 600 (seq 1, offset 88), ends token 1199 → seq 2
+    assert(got(2L) == ((600L, 1L, 88L, 2L)))
+    assert(got(3L) == ((1200L, 2L, 176L, 2L)))
+    assert(got(10L) == ((1212L, 2L, 188L, 3L)))
+    // the bucketed form's heavy window partitions by the id bucket
+    val p = Pack.packBucketed(d, "id", "nt", 512L, 2L)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(_bkt".r.findFirstIn(p).isDefined, p.take(900))
+  }
+
   test("chunk dedup: shared chunks across docs detected, within-doc repeats don't count") {
     import spark.implicits._
     val shared = "p q r s t u v w"
