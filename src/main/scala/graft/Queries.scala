@@ -1430,6 +1430,38 @@ object Queries {
            |FROM webpages
            |GROUP BY 1, 2""".stripMargin)),
 
+    // Blocks ARE a queryable storage tier (north-star property): a 1h
+    // rollup computed from the DECODED Gorilla block table equals the
+    // direct raw→1h rollup — value sums ride the codec as integral
+    // micros (exact doubles), the three-state counts ride the parallel
+    // flag channels, and the merge is the standard cascade shape.
+    "ts_rollup_blocks_1h" -> QueryDef(
+      run = (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-blockroll").toString
+        val runner = new graft.run.TierRunner(s, root)
+        runner.run("b1", runner.ingest(pages(s, dir)))
+        runner.decodedBlocks()
+          .groupBy(col("domain"),
+                   Rollup.bucket(col("bucket_epoch"), TierSpec.T1h))
+          .agg(sum(col("value")).cast("long").as("sum_value_micros"),
+               sum(col("n_ok")).as("n_ok"),
+               sum(col("n_nodata")).as("n_nodata"),
+               sum(col("n_undetect")).as("n_undetect"))
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       warc_epoch - (warc_epoch % 3600) AS bucket_epoch,
+           |       CAST(sum(CASE WHEN flag = 0
+           |                     THEN CAST(floor(value * 1000000) AS BIGINT)
+           |                END) AS BIGINT) AS sum_value_micros,
+           |       CAST(sum(CASE WHEN flag = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           |       CAST(sum(CASE WHEN flag = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodata,
+           |       CAST(sum(CASE WHEN flag = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_undetect
+           |FROM webpages
+           |GROUP BY 1, 2""".stripMargin)),
+
     // G1 parallel-arrays explode (vpts.py:108-136): per-profile arrays
     // (25-level ladder) + broadcast scalars → long form via ONE
     // arrays_zip+posexplode generator. The arrays are built

@@ -80,6 +80,40 @@ class TextCurationSpec extends AnyFunSuite with SparkSuite {
     assert("hashpartitioning\\(_bkt".r.findFirstIn(p).isDefined, p.take(900))
   }
 
+  test("sequence packing invariants hold on random inputs (seeded)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      ids <- Gen.pick(n, 0L until 500L)
+      toks <- Gen.listOfN(n, Gen.chooseNum(1L, 2000L))
+    } yield ids.toSeq.sorted.zip(toks)
+    val prop = Prop.forAll(gen) { rows =>
+      val df = rows.toDF("id", "nt")
+      val out = Pack.packBucketed(df, "id", "nt", 512L, 16L)
+        .orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("nt"),
+                   r.getAs[Long]("start_offset"), r.getAs[Long]("seq_id"),
+                   r.getAs[Long]("seq_offset"), r.getAs[Long]("end_seq_id")))
+      // contiguous layout: each doc starts where the previous ended
+      val contiguous = out.foldLeft((true, 0L)) {
+        case ((ok, expect), (_, nt, start, _, _, _)) =>
+          (ok && start == expect, expect + nt)
+      }._1
+      // sequence math is consistent with the offsets
+      val math = out.forall { case (_, nt, start, sid, soff, eid) =>
+        sid == start / 512L && soff == start % 512L &&
+          eid == (start + nt - 1) / 512L && eid >= sid
+      }
+      contiguous && math
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30)
+        .withInitialSeed(Seed(20260817L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("chunk dedup: shared chunks across docs detected, within-doc repeats don't count") {
     import spark.implicits._
     val shared = "p q r s t u v w"
