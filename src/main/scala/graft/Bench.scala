@@ -69,8 +69,9 @@ object Bench {
     "gorilla_roundtrip", "profile_explode", "filename_parse",
     "dedup_exact", "dedup_minhash",
     "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_embedding_lsh", "corpus_filter", "corpus_sample", "corpus_mix",
-    "decontaminate",
+    "dedup_embedding_lsh", "dedup_chunks", "corpus_filter", "corpus_sample",
+    "corpus_mix", "corpus_pack", "decontaminate", "text_scrub",
+    "text_quality_rep",
     "text_stats", "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
     "ann_ivf_kmeans_topk", "mm_features")
   // Deliberately NOT bench keys: dedup_incremental / tier_incremental
