@@ -485,6 +485,57 @@ object Queries {
            |       (dup_chunk_milli < 300 AND top_bigram_milli < 180) AS keep
            |FROM r""".stripMargin)),
 
+    // Decontamination composed into selection — the integration a real
+    // pipeline runs: the corpus_filter keep-set MINUS documents whose
+    // k-gram containment vs the (broadcast) bench set crosses the
+    // threshold. Bench stand-in: doc_id < 5 (they self-contain at 1000
+    // and are excluded — eval docs never reach training). One anti-join
+    // on top of the selection plan; the bench side stays broadcast.
+    "corpus_select_decontam" -> QueryDef(
+      run = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val bench = docs.filter(col("doc_id") < 5L)
+          .select(col("doc_id").as("bench_id"), col("text"))
+        val contaminated = graft.ops.Decontaminate
+          .overlap(docs, "doc_id", "text", bench, "bench_id", "text")
+          .select("doc_id").distinct()
+        TextStats.stats(docs, "doc_id", "text")
+          .withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy("fp_md5")))
+          .filter(col("doc_id") === col("keep_id") &&
+            col("quality_milli") >= 300L && col("lang_pred") =!= "und")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang_pred", "quality_milli")
+      },
+      oracle = Some {
+        val cont = graft.ops.Decontaminate.overlapOracleSql(
+          "SELECT doc_id, text FROM documents", "doc_id", "text",
+          "SELECT doc_id AS bench_id, text FROM documents WHERE doc_id < 5",
+          "bench_id", "text")
+        s"""$docsCte,
+           |s AS (
+           |  SELECT doc_id,
+           |         ${TextStats.langIdSql("text").replace("\n", "\n         ")} AS lang_pred,
+           |         ${TextStats.qualityMilliSql("text").replace("\n", "\n         ")} AS quality_milli,
+           |         md5(lower(text)) AS fp
+           |  FROM docs
+           |),
+           |s2 AS (
+           |  SELECT s.*, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM s
+           |),
+           |cont AS (
+           |  SELECT DISTINCT doc_id FROM (
+           |    ${cont.replace("\n", "\n    ")}
+           |  )
+           |)
+           |SELECT doc_id, lang_pred, quality_milli
+           |FROM s2
+           |WHERE doc_id = keep_id AND quality_milli >= 300
+           |  AND lang_pred <> 'und'
+           |  AND NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = s2.doc_id)""".stripMargin
+      }),
+
     // Sequence packing (the training-data layout step): global token
     // prefix-sum → fixed 512-token sequence ids/offsets per document.
     // The GATED form is the skew-safe bucketed two-phase prefix sum (no
