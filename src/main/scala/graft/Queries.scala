@@ -1495,7 +1495,10 @@ object Queries {
         runner.decodedBlocks()
           .groupBy(col("domain"),
                    Rollup.bucket(col("bucket_epoch"), TierSpec.T1h))
-          .agg(sum(col("value")).cast("long").as("sum_value_micros"),
+          // cast BEFORE summing: the decoded values are exact integral
+          // micros, and a long sum stays exact past 2^53 where a double
+          // sum would silently round (ANSI errors on true overflow)
+          .agg(sum(col("value").cast("long")).as("sum_value_micros"),
                sum(col("n_ok")).as("n_ok"),
                sum(col("n_nodata")).as("n_nodata"),
                sum(col("n_undetect")).as("n_undetect"))

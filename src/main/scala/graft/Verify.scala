@@ -12,6 +12,15 @@ object Verify {
     // names = the driver's full-registry contract, unchanged
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args.drop(2).toSet) else None
+    // a typo'd name must not produce a green run that verified nothing
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[verify] unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(1)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

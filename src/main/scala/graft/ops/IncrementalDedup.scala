@@ -95,41 +95,48 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     heal()
     val seq = bandTable.currentSnapshotId.map(_ + 1).getOrElse(0L)
 
-    // id-range of the increment (integral id columns only): recorded in
-    // the band partition's lineage for future replay-guard pruning, and
-    // used now to prune the known-id check to overlapping partitions.
-    // A superset of the committed (post-dedup) ids — safe for pruning.
-    val idRange: Option[(Long, Long)] = increment.schema(idCol).dataType match {
-      case LongType | IntegerType =>
-        val r = increment.agg(min(col(idCol).cast("long")).as("mn"),
-                              max(col(idCol).cast("long")).as("mx")).head()
-        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
-      case _ => None
-    }
-
-    val fresh =
-      if (seq == 0L) increment
-      else {
-        val overlapping = overlappingBandSeqs(idRange)
-        if (overlapping.isEmpty) increment
-        else {
-          val knownIds = bandTable.read(overlapping)
-            .join(broadcast(increment.select(col(idCol).as("_id")).distinct()),
-                  Seq("_id"))
-            .select(col("_id").as(idCol)).distinct()
-          increment.join(knownIds, Seq(idCol), "left_anti")
-        }
+    // the increment's distinct ids feed BOTH the id-range metadata and
+    // the known-id broadcast — persisted (ids only, operator-scoped,
+    // unpersisted below) so an expensive upstream increment plan is
+    // evaluated once for them, not once per use
+    val incIds = increment.select(col(idCol).as("_id")).distinct().persist()
+    try {
+      // id-range of the increment (integral id columns only): recorded
+      // in the band partition's lineage for future replay-guard
+      // pruning, and used now to prune the known-id check to
+      // overlapping partitions. A superset of the committed
+      // (post-dedup) ids — safe for pruning.
+      val idRange: Option[(Long, Long)] = increment.schema(idCol).dataType match {
+        case LongType | IntegerType =>
+          val r = incIds.agg(min(col("_id").cast("long")).as("mn"),
+                             max(col("_id").cast("long")).as("mx")).head()
+          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+        case _ => None
       }
 
-    // 1+2: increment bands, committed as this ingest's partition (the
-    // expensive signature map work runs once, into the commit)
-    val newBands = Dedup.lshBands(
-        Dedup.minHashSignatures(fresh, idCol, textCol, numHashes, shingleK),
-        numHashes, bands)
-      .withColumn("ingest_seq", lit(seq))
-    bandTable.commitOverwrite(newBands, "ingest_seq",
-      Map(seq.toString -> PartitionLineage(seq, "ok",
-        idMin = idRange.map(_._1), idMax = idRange.map(_._2))))
+      val fresh =
+        if (seq == 0L) increment
+        else {
+          val overlapping = overlappingBandSeqs(idRange)
+          if (overlapping.isEmpty) increment
+          else {
+            val knownIds = bandTable.read(overlapping)
+              .join(broadcast(incIds), Seq("_id"))
+              .select(col("_id").as(idCol)).distinct()
+            increment.join(knownIds, Seq(idCol), "left_anti")
+          }
+        }
+
+      // 1+2: increment bands, committed as this ingest's partition (the
+      // expensive signature map work runs once, into the commit)
+      val newBands = Dedup.lshBands(
+          Dedup.minHashSignatures(fresh, idCol, textCol, numHashes, shingleK),
+          numHashes, bands)
+        .withColumn("ingest_seq", lit(seq))
+      bandTable.commitOverwrite(newBands, "ingest_seq",
+        Map(seq.toString -> PartitionLineage(seq, "ok",
+          idMin = idRange.map(_._1), idMax = idRange.map(_._2))))
+    } finally incIds.unpersist()
 
     // 3+4: new pair witnesses, recorded per snapshot (lineage → the
     // band snapshot that made them)

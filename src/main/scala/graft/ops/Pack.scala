@@ -33,8 +33,13 @@ object Pack {
                      seqLen: Long): DataFrame =
     df.withColumn("seq_id", expr(s"start_offset DIV $seqLen"))
       .withColumn("seq_offset", col("start_offset") % seqLen)
+      // a zero-token document occupies no tokens: it "touches" only its
+      // start sequence (the last-token formula would undershoot seq_id
+      // when start_offset sits exactly on a sequence boundary)
       .withColumn("end_seq_id",
-        expr(s"(start_offset + $nTokensCol - 1) DIV $seqLen"))
+        when(col(nTokensCol) > 0L,
+          expr(s"(start_offset + $nTokensCol - 1) DIV $seqLen"))
+          .otherwise(col("seq_id")))
 
   /** Naive global-window form (single-task sort — spot runs only). */
   def pack(df: DataFrame, idCol: String, nTokensCol: String,
@@ -86,6 +91,8 @@ object Pack {
        |SELECT *,
        |       start_offset // $seqLen AS seq_id,
        |       start_offset % $seqLen AS seq_offset,
-       |       (start_offset + $nTokensCol - 1) // $seqLen AS end_seq_id
+       |       CASE WHEN $nTokensCol > 0
+       |            THEN (start_offset + $nTokensCol - 1) // $seqLen
+       |            ELSE start_offset // $seqLen END AS end_seq_id
        |FROM c""".stripMargin
 }

@@ -120,7 +120,9 @@ object TextStats {
     * Spark and DuckDB scrub identically.
     */
   val piiPatterns: Seq[(String, String, String)] = Seq(
-    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    // (?i): Jane.Doe@Example.COM must not survive (or half-survive) the
+    // scrub; the inline flag behaves identically in Java regex and RE2
+    ("email", "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
     ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
     ("phone", "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b", "<PHONE>"))
 

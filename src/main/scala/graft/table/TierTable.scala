@@ -250,11 +250,20 @@ final class TierTable(val root: String, spark: SparkSession) {
     val present = partitions.filter(k =>
       m.partitions.get(k).exists(_.path.nonEmpty))
     if (present.isEmpty) return m
-    // hash-cluster on the partition column over filesPerPartition
-    // tasks: each task writes ≤1 file per partition value it holds, so
-    // every partition lands in ≤ filesPerPartition files
-    val df = readManifest(m, Some(present))
-      .repartition(filesPerPartition, col(m.partitionCol))
+    // hash-cluster on (partition, deterministic row-hash split): a
+    // partition's rows land in ≤ filesPerPartition hash buckets (≤ that
+    // many files), and distinct (partition, split) pairs spread over
+    // filesPerPartition × |partitions| tasks — a multi-GB day partition
+    // is rewritten in parallel, not by one task. The split key hashes
+    // the full row (deterministic, content-derived), so the rewrite
+    // stays reproducible.
+    val base = readManifest(m, Some(present))
+    val split = pmod(
+      expr(s"xxhash64(${base.columns.sorted.map(c => s"`$c`").mkString(",")})"),
+      lit(filesPerPartition))
+    val df = base
+      .repartition(filesPerPartition * present.size,
+                   col(m.partitionCol), split)
     commitOverwrite(df, m.partitionCol,
       present.map(k => k -> (m.partitions(k).lineage match {
         case Some(l) => l.copy(status = "compacted")
@@ -389,11 +398,17 @@ object Manifest {
     * version field at all). A versionless or mismatched manifest fails
     * fast at open instead of yielding silently different plans,
     * spurious snapshot diffs, or a NumberFormatException deep inside
-    * [[TierTable.expireSnapshots]]. Additive OPTIONAL fields (e.g. the
-    * lineage `id_min`/`id_max` range) do not bump the version: v2
-    * readers parse manifests with or without them.
+    * [[TierTable.expireSnapshots]].
+    *
+    * v3 adds the optional lineage `id_min`/`id_max` range. The bump
+    * matters even though the field is optional: a v2 reader's entry
+    * regex would not match entries carrying the new keys and would
+    * silently DROP those partitions rather than fail — exactly the
+    * failure mode the version field exists to prevent. This reader
+    * accepts v2 manifests (which cannot contain the field) and v3.
     */
-  val FormatVersion: Long = 2L
+  val FormatVersion: Long = 3L
+  val ReadableVersions: Set[Long] = Set(2L, FormatVersion)
 
   /** Minimal JSON reader for manifests this class wrote (no external
     * JSON library; the format is fully under our control).
@@ -408,8 +423,10 @@ object Manifest {
         "unversioned (pre-v2) tier-table manifest: this table was " +
           "written with the legacy data/s<k> layout and must be " +
           "rebuilt (rebuildAll) — refusing to guess at its layout")
-      case Some(v) if v != FormatVersion => throw new IllegalStateException(
-        s"tier-table manifest format $v != supported $FormatVersion")
+      case Some(v) if !ReadableVersions.contains(v) =>
+        throw new IllegalStateException(
+          s"tier-table manifest format $v not in supported " +
+            ReadableVersions.toSeq.sorted.mkString("{", ",", "}"))
       case _ => ()
     }
     val parent = """"parent":(null|\d+)""".r.findFirstMatchIn(s).get.group(1) match {

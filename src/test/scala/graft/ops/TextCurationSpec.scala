@@ -16,11 +16,13 @@ class TextCurationSpec extends AnyFunSuite with SparkSuite {
       (1L, "write to jane.doe+x@corp.example.org today"),
       (2L, "server 192.168.0.17 answered"),
       (3L, "call 555-0100-1234 or 555-010-1234"),
-      (4L, "perfectly clean text with no identifiers")
+      (4L, "perfectly clean text with no identifiers"),
+      (5L, "mail JANE.DOE@EXAMPLE.COM now")
     ).toDF("id", "t")
     val out = df.select(col("id"), TextStats.scrubPii(col("t")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "write to <EMAIL> today")
+    assert(out(5L) == "mail <EMAIL> now", out(5L))
     assert(out(2L) == "server <IP> answered")
     assert(out(3L) == "call <PHONE> or <PHONE>")
     assert(out(4L) == "perfectly clean text with no identifiers")
@@ -87,7 +89,7 @@ class TextCurationSpec extends AnyFunSuite with SparkSuite {
     val gen = for {
       n <- Gen.chooseNum(1, 60)
       ids <- Gen.pick(n, 0L until 500L)
-      toks <- Gen.listOfN(n, Gen.chooseNum(1L, 2000L))
+      toks <- Gen.listOfN(n, Gen.chooseNum(0L, 2000L)) // incl. empty docs
     } yield ids.toSeq.sorted.zip(toks)
     val prop = Prop.forAll(gen) { rows =>
       val df = rows.toDF("id", "nt")
@@ -103,8 +105,8 @@ class TextCurationSpec extends AnyFunSuite with SparkSuite {
       }._1
       // sequence math is consistent with the offsets
       val math = out.forall { case (_, nt, start, sid, soff, eid) =>
-        sid == start / 512L && soff == start % 512L &&
-          eid == (start + nt - 1) / 512L && eid >= sid
+        sid == start / 512L && soff == start % 512L && eid >= sid &&
+          eid == (if (nt > 0) (start + nt - 1) / 512L else sid)
       }
       contiguous && math
     }
