@@ -303,6 +303,15 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
       assert(after.partitions(k) == before.partitions(k))
     // the table still reads end-to-end
     assert(t5m.read().count() == before.totalRows)
+
+    // filesPerPartition > 1: bounded above, content still identical
+    val after2 = t5m.compactPartitions(keys, filesPerPartition = 2)
+    for (k <- keys) {
+      val files = fileCount(after2, k)
+      assert(files >= 1 && files <= 2, s"partition $k: $files files")
+      assert(after2.partitions(k).rows == before.partitions(k).rows)
+      assert(after2.partitions(k).checksum == before.partitions(k).checksum)
+    }
   }
 
   test("skew mode (saltBuckets) produces identical tiers to the default runner") {
