@@ -41,9 +41,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * keys (an increment of n docs touches ≤ n·bands buckets), so the only
   * exchange carries bucket-matching rows, bounded by increment-buckets
   * × bucket size. The ingest-time skew cap bounds pair GENERATION by
-  * the cumulative bucket size at pairing time. At warehouse scale,
-  * store the band table bucketed by band_hash so the per-ingest join is
-  * also co-located on disk.
+  * the cumulative bucket size at pairing time.
+  *
+  * Scan I/O is bounded the same way: the band table is PHYSICALLY
+  * bucketed by `band_bucket = xxhash64(band_hash) mod hashBuckets`
+  * (the [[TierTable]] bucket level), and every corpus-side read —
+  * [[witnessesFor]]'s as-of scan and [[pairs]]'s final-size pass —
+  * filters to the band buckets its increment/witness set actually
+  * touches, which Spark turns into partition-directory pruning on the
+  * scan (spec-pinned via the files-read metric). Per-ingest witness
+  * generation therefore reads O(touched buckets) files, never the
+  * whole band table — the last O(corpus) per-increment cost is gone.
   *
   * Crash safety: the two commits (bands, then witnesses) are healed at
   * the start of every [[ingest]] and [[pairs]] call — a band partition
@@ -71,10 +79,32 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 final class IncrementalDedup(spark: SparkSession, root: String,
                              numHashes: Int = 16, bands: Int = 4,
-                             shingleK: Int = 3, maxBucket: Int = 1000) {
+                             shingleK: Int = 3, maxBucket: Int = 1000,
+                             hashBuckets: Int = 64) {
 
   private val bandTable = new TierTable(s"$root/bands", spark).init()
   private val pairTable = new TierTable(s"$root/pairs", spark).init()
+
+  /** Physical clustering key of the band table: a stable hash of the
+    * LSH bucket key, so all members of one (band, band_hash) bucket —
+    * the only rows any witness pass ever joins — live in the same
+    * bucket directory of every ingest partition. Spark-internal only
+    * (never crosses to the oracle), so xxhash64 is fine.
+    */
+  private def bandBucket(bandHash: org.apache.spark.sql.Column) =
+    pmod(xxhash64(bandHash), lit(hashBuckets.toLong))
+
+  /** The empty witness frame (schema only — nothing is ever read from
+    * it, and committing it writes no data files, so its column types
+    * never reach disk).
+    */
+  private def emptyWitnesses(): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("band", IntegerType),
+        StructField("band_hash", StringType),
+        StructField("id_a", LongType), StructField("id_b", LongType))))
+  }
 
   /** Ingest one increment; returns the NEW near-dup candidate pairs it
     * introduces (id_a < id_b, distinct), already recorded in the
@@ -128,14 +158,18 @@ final class IncrementalDedup(spark: SparkSession, root: String,
         }
 
       // 1+2: increment bands, committed as this ingest's partition (the
-      // expensive signature map work runs once, into the commit)
+      // expensive signature map work runs once, into the commit),
+      // physically clustered by band bucket so every later bucket-keyed
+      // read prunes at the directory level
       val newBands = Dedup.lshBands(
           Dedup.minHashSignatures(fresh, idCol, textCol, numHashes, shingleK),
           numHashes, bands)
+        .withColumn("band_bucket", bandBucket(col("band_hash")))
         .withColumn("ingest_seq", lit(seq))
       bandTable.commitOverwrite(newBands, "ingest_seq",
         Map(seq.toString -> PartitionLineage(seq, "ok",
-          idMin = idRange.map(_._1), idMax = idRange.map(_._2))))
+          idMin = idRange.map(_._1), idMax = idRange.map(_._2))),
+        bucketCol = Some("band_bucket"))
     } finally incIds.unpersist()
 
     // 3+4: new pair witnesses, recorded per snapshot (lineage → the
@@ -162,8 +196,18 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     */
   private def witnessesFor(seq: Long): DataFrame = {
     val asOfKeys = bandTable.partitionKeys.filter(_.toLong <= seq)
-    val asOf = bandTable.read(asOfKeys)
+    // a corpus with no band data at all (first ingest was empty) has no
+    // witnesses — and no schema to read
+    if (asOfKeys.isEmpty) return emptyWitnesses()
     val inc = bandTable.read(Set(seq.toString))
+    // the increment's touched band buckets: ≤ hashBuckets values (a
+    // constant knob), collected to drive partition-directory pruning of
+    // the as-of scan — the corpus read touches ONLY these buckets'
+    // files, never the full band table
+    val incBuckets = inc.select("band_bucket").distinct()
+      .collect().map(_.getLong(0))
+    if (incBuckets.isEmpty) return emptyWitnesses()
+    val asOf = prunedBandScan(asOfKeys, incBuckets)
     val touched = asOf
       .join(broadcast(inc.select("band", "band_hash").distinct()),
             Seq("band", "band_hash"))
@@ -181,6 +225,16 @@ final class IncrementalDedup(spark: SparkSession, root: String,
               greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
   }
+
+  /** Bucket-pruned band scan: only the requested ingest partitions AND
+    * only the requested band buckets' sub-directories — the `isin`
+    * filter on the Hive bucket level becomes a partition filter on the
+    * scan, so files of other buckets are never listed into the plan.
+    * Exposed for the spec that pins the files-read bound.
+    */
+  private[ops] def prunedBandScan(seqs: Set[String],
+                                  buckets: Seq[Long]): DataFrame =
+    bandTable.read(seqs).filter(col("band_bucket").isin(buckets: _*))
 
   /** Band partitions whose recorded id-range overlaps `range` (plus any
     * partition with no recorded range — unknown ids must be read). The
@@ -226,9 +280,26 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     */
   def pairs(): DataFrame = {
     heal()
-    val sizes = bandTable.read()
+    // a corpus that never produced a witness (no duplicate pairs
+    // anywhere, or nothing ingested) has only explicit-empty pair
+    // partitions — a legitimate empty result, not an error
+    val witnesses =
+      try pairTable.read()
+      catch { case _: IllegalStateException =>
+        return emptyWitnesses().select("id_a", "id_b") }
+    // final bucket sizes are only needed for buckets that HOLD a
+    // witness: prune the band scan to those buckets' directories
+    // (≤ hashBuckets values — worst case this is the full table, which
+    // is then genuinely the size of the answer's support, not of the
+    // corpus)
+    val wBuckets = witnesses
+      .select(bandBucket(col("band_hash")).as("_wb")).distinct()
+      .collect().map(_.getLong(0))
+    if (wBuckets.isEmpty)
+      return emptyWitnesses().select("id_a", "id_b")
+    val sizes = prunedBandScan(bandTable.partitionKeys, wBuckets)
       .groupBy("band", "band_hash").agg(count(lit(1)).as("_bsz"))
-    pairTable.read()
+    witnesses
       .join(sizes, Seq("band", "band_hash"))
       .filter(col("_bsz") <= maxBucket)
       .select("id_a", "id_b").distinct()

@@ -448,6 +448,13 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nlist: Int, iters: Int, dims: Int): DataFrame = {
+    // `dims` drives the mean-reconstruction sequence; if it mismatches
+    // the actual embedding width, Spark's zip-based dot truncates while
+    // the DuckDB oracle NULL-pads — a silent divergence. Fail fast on
+    // the first row instead (empty corpus: nothing to check).
+    corpus.select(size(col(vecCol)).as("_d")).limit(1).collect()
+      .foreach(r => require(r.getInt(0) == dims,
+        s"dims=$dims but $vecCol has ${r.getInt(0)} components"))
     val vecs = corpus.select(col(idCol).as("_vid"),
         transform(asDouble(col(vecCol)),
                   x => floor(x * lit(1e6)).cast("long")).as("vq"))

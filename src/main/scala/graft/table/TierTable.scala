@@ -94,10 +94,33 @@ final class TierTable(val root: String, spark: SparkSession) {
     * — an empty recompute result deletes the partition's old contents
     * instead of silently resurrecting them.
     */
+  /** Optional second physical clustering level: when `bucketCol` is set
+    * (or inherited from the parent snapshot), data is written as
+    * `snap=<k>/<partitionCol>=<p>/<bucketCol>=<b>/…` — a Hive-style
+    * bucket sub-directory per partition. Readers get the bucket column
+    * back (long) and a `filter(bucketCol.isin(...))` prunes bucket
+    * directories at PLANNING time (partition filters on the scan), so a
+    * lookup touching few buckets reads only those buckets' files — the
+    * Iceberg bucket-transform analog [[graft.ops.IncrementalDedup]]
+    * relies on to keep per-ingest witness scans O(touched buckets)
+    * instead of O(corpus). The bucket column must be a deterministic
+    * function of the row (the writer's contract) so recompaction is
+    * content-preserving.
+    */
   def commitOverwrite(df: DataFrame, partitionCol: String,
-                      lineage: Map[String, PartitionLineage] = Map.empty)
+                      lineage: Map[String, PartitionLineage] = Map.empty,
+                      bucketCol: Option[String] = None)
       : Manifest = {
     val parent = currentManifest
+    // The physical layout is a table-level contract: one bucket spec for
+    // every snapshot (mixed-depth Hive dirs would break the multi-path
+    // read). New commits inherit the parent's spec unless they restate
+    // it identically.
+    val effBucket = bucketCol.orElse(parent.flatMap(_.bucketCol))
+    parent.flatMap(_.bucketCol).foreach { pb =>
+      require(effBucket.contains(pb),
+        s"bucket column is fixed at table creation: parent has $pb, got $bucketCol")
+    }
     val snap = nextSnapshotId
     val stamp = System.currentTimeMillis()
 
@@ -118,7 +141,9 @@ final class TierTable(val root: String, spark: SparkSession) {
               r.getLong(1), r.getLong(2),
               lineage.get(r.getString(0))))
           .toMap
-        cached.write.partitionBy(partitionCol).mode("overwrite").parquet(dataDir)
+        cached.write
+          .partitionBy(partitionCol +: effBucket.toSeq: _*)
+          .mode("overwrite").parquet(dataDir)
         s
       } finally cached.unpersist()
 
@@ -130,14 +155,41 @@ final class TierTable(val root: String, spark: SparkSession) {
     val fresh = stats ++ empties
     val carried = parent.map(_.partitions).getOrElse(Map.empty) -- fresh.keySet
     val m = Manifest(snap, parent.map(_.snapshot), stamp, partitionCol,
-                     carried ++ fresh)
+                     carried ++ fresh, effBucket)
+    publish(m, parent.map(_.snapshot))
+  }
 
-    val tmp = manifests.resolve(s".manifest-$snap.json.tmp")
+  /** Test hook: runs immediately before [[publish]]'s CAS check, so a
+    * spec can interleave a competing commit deterministically. No-op in
+    * production.
+    */
+  private[table] var beforeCurrentMove: () => Unit = () => ()
+
+  /** Write the manifest, then move CURRENT — guarded by an
+    * optimistic-concurrency check (the Iceberg commit contract this
+    * layer mirrors): if another writer advanced CURRENT since this
+    * commit read its parent snapshot, the move is REFUSED and the
+    * commit fails loudly instead of silently dropping the winner's
+    * snapshot from history. The losing commit's data/manifest stay on
+    * disk unreferenced until [[expireSnapshots]] reclaims them; the
+    * caller retries from a fresh read. (Check-then-move is not atomic
+    * across processes — like Iceberg on a rename-only filesystem, a
+    * true multi-writer deployment puts the swap behind a CAS-capable
+    * catalog; this guard closes the in-process race the spec pins.)
+    */
+  private def publish(m: Manifest, expectedParent: Option[Long]): Manifest = {
+    val tmp = manifests.resolve(s".manifest-${m.snapshot}.json.tmp")
     Files.writeString(tmp, m.toJson)
-    Files.move(tmp, manifests.resolve(s"manifest-$snap.json"),
+    Files.move(tmp, manifests.resolve(s"manifest-${m.snapshot}.json"),
                StandardCopyOption.ATOMIC_MOVE)
+    beforeCurrentMove()
+    val now = currentSnapshotId
+    if (now != expectedParent)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit at $root: this commit's parent is " +
+          s"$expectedParent but CURRENT is now $now — retry from a fresh read")
     val ctmp = rootPath.resolve(".CURRENT.tmp")
-    Files.writeString(ctmp, snap.toString)
+    Files.writeString(ctmp, m.snapshot.toString)
     Files.move(ctmp, current, StandardCopyOption.ATOMIC_MOVE,
                StandardCopyOption.REPLACE_EXISTING)
     m
@@ -191,10 +243,8 @@ final class TierTable(val root: String, spark: SparkSession) {
         .collectFirst { case (_, p) if p.path.nonEmpty => p }
       anyData match {
         case Some(p) if only.isDefined =>
-          return spark.read.option("basePath", s"$root/data")
-            .parquet(s"$root/${p.path}")
-            .withColumn(m.partitionCol, col(m.partitionCol).cast("long"))
-            .drop("snap")
+          return typed(m, spark.read.option("basePath", s"$root/data")
+            .parquet(s"$root/${p.path}"))
             .filter(lit(false))
         case _ =>
           throw new IllegalStateException(
@@ -204,9 +254,17 @@ final class TierTable(val root: String, spark: SparkSession) {
       }
     }
     val paths = selected.map { case (_, p) => s"$root/${p.path}" }
-    spark.read.option("basePath", s"$root/data").parquet(paths: _*)
-      .withColumn(m.partitionCol, col(m.partitionCol).cast("long"))
+    typed(m, spark.read.option("basePath", s"$root/data").parquet(paths: _*))
+  }
+
+  /** Hive-inferred directory columns come back as ints; pin the
+    * partition (and bucket, when present) columns to long so re-reads
+    * hash/checksum identically to the frames that were committed.
+    */
+  private def typed(m: Manifest, df: DataFrame): DataFrame = {
+    val p = df.withColumn(m.partitionCol, col(m.partitionCol).cast("long"))
       .drop("snap")
+    m.bucketCol.fold(p)(b => p.withColumn(b, col(b).cast("long")))
   }
 
   /** Manifest-only retention commit: a new snapshot that simply drops
@@ -221,15 +279,8 @@ final class TierTable(val root: String, spark: SparkSession) {
     if (dropped.isEmpty) return Set.empty
     val snap = nextSnapshotId
     val m = Manifest(snap, Some(parent.snapshot), System.currentTimeMillis(),
-                     parent.partitionCol, kept)
-    val tmp = manifests.resolve(s".manifest-$snap.json.tmp")
-    Files.writeString(tmp, m.toJson)
-    Files.move(tmp, manifests.resolve(s"manifest-$snap.json"),
-               StandardCopyOption.ATOMIC_MOVE)
-    val ctmp = rootPath.resolve(".CURRENT.tmp")
-    Files.writeString(ctmp, snap.toString)
-    Files.move(ctmp, current, StandardCopyOption.ATOMIC_MOVE,
-               StandardCopyOption.REPLACE_EXISTING)
+                     parent.partitionCol, kept, parent.bucketCol)
+    publish(m, Some(parent.snapshot))
     dropped.keySet
   }
 
@@ -268,6 +319,49 @@ final class TierTable(val root: String, spark: SparkSession) {
       present.map(k => k -> (m.partitions(k).lineage match {
         case Some(l) => l.copy(status = "compacted")
         case None    => PartitionLineage(m.snapshot, "compacted")
+      })).toMap)
+  }
+
+  /** Z-order variant of [[compactPartitions]] — the Iceberg
+    * rewrite-data-files(sort-order=zorder(x, y)) analog, actually
+    * applied to the file LAYOUT: each partition's rows are re-split by
+    * equal-width ranges of the Morton interleave of (`xCol`, `yCol`)
+    * ([[graft.functions.ZOrder.zValue]]) and sorted by it within every
+    * task, so each output file covers a small box in BOTH dimensions.
+    * A scan filtered on either dimension (or a box) can then prune most
+    * files by their per-file column min/max — where the hash split of
+    * [[compactPartitions]] leaves every file spanning the full range of
+    * both (spec-pinned, including the pruning win).
+    *
+    * Content-preserving: per-partition rows and order-insensitive
+    * checksums are unchanged (spec-pinned). File BOUNDARIES come from
+    * range partitioning over (partition, z) — sample-derived, like
+    * Iceberg's sort-based rewrite — so each output file is one
+    * contiguous z-run; the content set, not the file split, is the
+    * reproducible contract here (the hash sibling keeps the stronger
+    * per-file determinism for checksum-sensitive rewrites).
+    */
+  def compactPartitionsZOrder(partitions: Set[String], xCol: String,
+                              yCol: String, bits: Int = 16,
+                              filesPerPartition: Int = 8): Manifest = {
+    require(filesPerPartition >= 1, "need at least one file per partition")
+    val m = currentManifest.getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val present = partitions.filter(k =>
+      m.partitions.get(k).exists(_.path.nonEmpty))
+    if (present.isEmpty) return m
+    val base = readManifest(m, Some(present))
+    val z = graft.functions.ZOrder.zValue(col(xCol), col(yCol), bits)
+    // one contiguous (partition, z)-range per task → one file per task
+    // under the partition dir, each covering a small box in both dims
+    val df = base
+      .repartitionByRange(filesPerPartition * present.size,
+                          col(m.partitionCol), z)
+      .sortWithinPartitions(col(m.partitionCol), z)
+    commitOverwrite(df, m.partitionCol,
+      present.map(k => k -> (m.partitions(k).lineage match {
+        case Some(l) => l.copy(status = "zorder-compacted")
+        case None    => PartitionLineage(m.snapshot, "zorder-compacted")
       })).toMap)
   }
 
@@ -362,14 +456,21 @@ final class TierTable(val root: String, spark: SparkSession) {
 final case class PartitionLineage(inputSnapshot: Long, status: String,
                                   error: Option[String] = None,
                                   idMin: Option[Long] = None,
-                                  idMax: Option[Long] = None)
+                                  idMax: Option[Long] = None) {
+  // Both-or-neither: a half-set range would be silently dropped by the
+  // JSON round-trip (id_min/id_max serialize as a pair) — fail loudly
+  // at construction instead of losing the bound.
+  require(idMin.isDefined == idMax.isDefined,
+    s"idMin/idMax must be both set or both empty (got $idMin/$idMax)")
+}
 
 final case class PartitionEntry(path: String, rows: Long, checksum: Long,
                                 lineage: Option[PartitionLineage])
 
 final case class Manifest(snapshot: Long, parent: Option[Long],
                           timestampMs: Long, partitionCol: String,
-                          partitions: Map[String, PartitionEntry]) {
+                          partitions: Map[String, PartitionEntry],
+                          bucketCol: Option[String] = None) {
 
   def totalRows: Long = partitions.values.map(_.rows).sum
 
@@ -387,6 +488,7 @@ final case class Manifest(snapshot: Long, parent: Option[Long],
     s"""{"format":${Manifest.FormatVersion},"snapshot":$snapshot,""" +
       s""""parent":${parent.map(_.toString).getOrElse("null")},""" +
       s""""timestamp_ms":$timestampMs,"partition_col":${q(partitionCol)},""" +
+      bucketCol.map(b => s""""bucket_col":${q(b)},""").getOrElse("") +
       s""""partitions":$parts}"""
   }
 }
@@ -406,9 +508,15 @@ object Manifest {
     * silently DROP those partitions rather than fail — exactly the
     * failure mode the version field exists to prevent. This reader
     * accepts v2 manifests (which cannot contain the field) and v3.
+    *
+    * v4 adds the optional `bucket_col` physical sub-clustering level
+    * (`snap=<k>/<col>=<p>/<bucket>=<b>/`). A v3 reader would silently
+    * read bucketed data WITHOUT typing the bucket column (int instead
+    * of long → checksum drift) — same rationale, same bump. Accepts
+    * v2/v3 (which cannot contain the field) and v4.
     */
-  val FormatVersion: Long = 3L
-  val ReadableVersions: Set[Long] = Set(2L, FormatVersion)
+  val FormatVersion: Long = 4L
+  val ReadableVersions: Set[Long] = Set(2L, 3L, FormatVersion)
 
   /** Minimal JSON reader for manifests this class wrote (no external
     * JSON library; the format is fully under our control).
@@ -435,6 +543,8 @@ object Manifest {
     }
     val partitionCol =
       """"partition_col":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s).get.group(1)
+    val bucketCol =
+      """"bucket_col":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s).map(_.group(1))
     val entryRe: Regex =
       ("\"((?:[^\"\\\\]|\\\\.)*)\":\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
         "\"rows\":(-?\\d+),\"checksum\":(-?\\d+)" +
@@ -451,6 +561,6 @@ object Manifest {
                                    m.group(4).toLong, lineage)
     }.toMap
     Manifest(longField("snapshot"), parent, longField("timestamp_ms"),
-             partitionCol, parts)
+             partitionCol, parts, bucketCol)
   }
 }

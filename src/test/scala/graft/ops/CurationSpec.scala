@@ -201,6 +201,82 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(d.corpusBands().count() == before, "replay duplicated bands")
   }
 
+  test("band table is band_hash-bucketed: witness scans read only touched buckets' files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-bucket").toString
+    val d = new IncrementalDedup(spark, root, hashBuckets = 8)
+    d.ingest(docs.filter(col("doc_id") % 2L === 0L), "doc_id", "text")
+    d.ingest(docs.filter(col("doc_id") % 2L === 1L), "doc_id", "text")
+    // physical layout: every band data file lives under a band_bucket=
+    // sub-directory of its ingest partition
+    def parquetFiles(): Seq[String] = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/bands/data"))
+      try walk.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally walk.close()
+    }
+    val all = parquetFiles()
+    assert(all.nonEmpty && all.forall(_.contains("band_bucket=")), all.take(3))
+    // the shared pruned-read path (used by witnessesFor per ingest and
+    // pairs()'s final-size pass): reading one bucket must scan exactly
+    // that bucket's files — partition-directory pruning, not a
+    // post-scan filter
+    val bucket = d.corpusBands().select("band_bucket").distinct()
+      .orderBy("band_bucket").head().getLong(0)
+    val pruned = d.prunedBandScan(Set("0", "1"), Seq(bucket))
+    pruned.collect()
+    val finalPlan = pruned.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = finalPlan.collectLeaves()
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, finalPlan.toString.take(500))
+    assert(scans.exists(_.partitionFilters.exists(_.toString.contains("band_bucket"))),
+      "bucket predicate did not reach the scan's partition filters")
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val bucketFiles = all.count(_.contains(s"band_bucket=$bucket/"))
+    assert(filesRead == bucketFiles && filesRead < all.size,
+      s"read $filesRead files; bucket has $bucketFiles of ${all.size} total")
+    // and correctness is unchanged by the layout: convergence to batch
+    val batch = Dedup.minHashLsh(docs, "doc_id", "text")
+    assert(d.pairs().exceptAll(batch).isEmpty &&
+           batch.exceptAll(d.pairs()).isEmpty)
+  }
+
+  test("pairs()/ingest on a corpus with no duplicates: empty result, no crash") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-nodup").toString
+    val d = new IncrementalDedup(spark, root)
+    // pairs() before any ingest: empty, not IllegalStateException
+    assert(d.pairs().isEmpty)
+    // two ingests with unique texts → witness partitions all explicitly
+    // empty; pairs() must return the legitimate empty set
+    // every word carries the doc id → per-doc shingle sets are fully
+    // disjoint → distinct signatures, no LSH bucket collisions
+    val uniq = (0L until 40L)
+      .map(i => (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i"))
+      .toDF("doc_id", "text")
+    d.ingest(uniq.filter(col("doc_id") < 20L), "doc_id", "text")
+    d.ingest(uniq.filter(col("doc_id") >= 20L), "doc_id", "text")
+    assert(d.pairs().isEmpty)
+    // first-ever ingest of an EMPTY increment: no bands at all, still no
+    // crash, and a later real ingest proceeds normally
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-empty1st").toString
+    val d2 = new IncrementalDedup(spark, root2)
+    assert(d2.ingest(uniq.filter(lit(false)), "doc_id", "text").isEmpty)
+    assert(d2.pairs().isEmpty)
+    d2.ingest(docs, "doc_id", "text")
+    val batch = Dedup.minHashLsh(docs, "doc_id", "text")
+    assert(d2.pairs().exceptAll(batch).isEmpty &&
+           batch.exceptAll(d2.pairs()).isEmpty)
+  }
+
   test("retention + compaction: pairs() equals the batch run over the surviving corpus") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-incdedup-expire").toString
