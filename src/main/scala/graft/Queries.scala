@@ -1453,6 +1453,71 @@ object Queries {
            |FROM webpages
            |GROUP BY 1, 2""".stripMargin)),
 
+    // Sketch tiers maintained INCREMENTALLY through the TierRunner
+    // (I1/I2 watermark semantics, same snapshot/lineage machinery as
+    // the value cascade): two ingests through the exact mergeable
+    // histogram ladder (raw→1h per-band counts, 1h→1d per-band SUMS —
+    // never a raw re-scan) must equal the direct full-data histogram,
+    // value for value.
+    "tier_hist_incremental" -> QueryDef(
+      run = (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-tierhist").toString
+        val runner = new graft.run.TierRunner(s, root)
+        val p = pages(s, dir)
+        val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+        runner.run("h1", runner.ingest(p.filter(col("warc_ts") < cut)))
+        runner.run("h2", runner.ingest(p.filter(col("warc_ts") >= cut)))
+        runner.histTier(TierSpec.T1d)
+          .select(Seq(col("domain"), col("bucket_epoch")) ++
+            (0 until 8).map(i => col(s"h$i")): _*)
+      },
+      oracle = Some {
+        val band = Sketches.histBandSql(
+          "CAST(floor(value * 1000000) AS BIGINT)", 8)
+        val hcols = (0 until 8).map(i =>
+          s"CAST(sum(CASE WHEN $band = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i")
+          .mkString(",\n       ")
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       warc_epoch - (warc_epoch % ${TierSpec.T1d.seconds}) AS bucket_epoch,
+           |       $hcols
+           |FROM webpages GROUP BY 1, 2""".stripMargin
+      }),
+
+    // Same lifecycle for the HLL distinct-url ladder: two ingests,
+    // 1h sketches unioned register-wise into the 1d tier — the
+    // incrementally-maintained estimate must stay within ±5% of the
+    // exact distinct count of the FULL corpus (the mergeability
+    // property, now exercised through snapshot commits + watermark
+    // recompute instead of a single query plan).
+    "tier_distinct_incremental" -> QueryDef(
+      run = (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-tierhll").toString
+        val runner = new graft.run.TierRunner(s, root)
+        val p = pages(s, dir)
+        val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+        runner.run("u1", runner.ingest(p.filter(col("warc_ts") < cut)))
+        runner.run("u2", runner.ingest(p.filter(col("warc_ts") >= cut)))
+        val est = Sketches.estimated(runner.hllTier(TierSpec.T1d))
+          .select("domain", "bucket_epoch", "n", "distinct_est")
+        val exact = p
+          .groupBy(col("domain"), Rollup.bucket(col("warc_epoch"), TierSpec.T1d))
+          .agg(countDistinct(col("url")).as("exact_distinct"))
+        est.join(exact, Seq("domain", "bucket_epoch"))
+          .select(col("domain"), col("bucket_epoch"), col("n"),
+            (abs(col("distinct_est") - col("exact_distinct"))
+              <= col("exact_distinct") * 0.05 + lit(1)).as("within_5pct"))
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       warc_epoch - (warc_epoch % ${TierSpec.T1d.seconds}) AS bucket_epoch,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       TRUE AS within_5pct
+           |FROM webpages GROUP BY 1, 2""".stripMargin)),
+
     // Per-(series, day) Gorilla value blocks stored as binary columns:
     // decoding the stored blocks must reproduce the 5m tier points,
     // INCLUDING the three-state missingness — the value channel's NaN

@@ -3,7 +3,7 @@ package graft.run
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import graft.core.TierSpec
-import graft.ops.Rollup
+import graft.ops.{Rollup, Sketches}
 import graft.table.{PartitionLineage, TierTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,6 +41,17 @@ final class TierRunner(spark: SparkSession, root: String,
 
   private val rawTable = new TierTable(s"$root/tier_raw", spark).init()
   private val blocksTable = new TierTable(s"$root/blocks_5m", spark).init()
+  // continuous-aggregate sketch tiers, maintained through the SAME
+  // watermark/lineage machinery as the rollup cascade (VERDICT r4 #3):
+  // an exact mergeable histogram ladder (1h→1d, per-band sums) and an
+  // HLL distinct-url ladder (1h→1d, register-union) — a distinct-count
+  // or distribution query over years of data reads a day-partitioned
+  // sketch tier, never raw
+  private val histTable1h = new TierTable(s"$root/hist_1h", spark).init()
+  private val histTable1d = new TierTable(s"$root/hist_1d", spark).init()
+  private val hllTable1h = new TierTable(s"$root/hll_1h", spark).init()
+  private val hllTable1d = new TierTable(s"$root/hll_1d", spark).init()
+  private val HistBands = 8
 
   /** Append a raw increment (new web pages) as a new raw snapshot,
     * partitioned by day. Returns the set of touched day partitions.
@@ -192,54 +203,88 @@ final class TierRunner(spark: SparkSession, root: String,
       }
     }
 
-    // ---- Gorilla value blocks: one compressed binary block per
-    // (series, day) over the 5m points (north-star binary column) ----
-    locally {
-      val key = "blocks"
+    // Shared stage harness for the non-cascade tiers (blocks + sketch
+    // ladders): resume-skip, dependency-aware failure isolation, one
+    // copy-on-write commit, per-partition lineage + metrics — identical
+    // semantics to the cascade loop above.
+    def runStage(key: String, upstream: Option[String],
+                 table: TierTable)(compute: Set[String] => DataFrame): Unit = {
       val already = touchedDays.filter(p =>
         previous.get(s"$key/$p").contains("ok"))
       val todo = touchedDays -- already
       // resumed partitions must be re-recorded: the checkpoint is
       // rewritten whole, and dropping them would make the NEXT resume
-      // rebuild every block partition
+      // rebuild every partition of this stage
       already.foreach(p => entries += RunEntry(key, p, -1L, "ok", 0L))
       val t0 = System.nanoTime()
       def elapsedMs: Long = (System.nanoTime() - t0) / 1000000L
-      if (todo.nonEmpty) {
-        if (failed.contains(TierSpec.T5m.name)) {
-          todo.foreach(p => entries += RunEntry(key, p, 0L, "skipped:upstream_failed", 0L))
-        } else try {
-          // THREE-STATE blocks: the value channel encodes every bucket
-          // (NaN where zero OK rows — the bit pattern Gorilla-XORs like
-          // any other double and decode maps back to null), and three
-          // parallel count channels carry the OK/NODATA/UNDETECT bucket
-          // states through the codec round-trip exactly as they travel
-          // the rollup cascade. All four channels share one ts grid per
-          // (series, day), so decode re-aligns them positionally.
-          val t5m = tableFor(TierSpec.T5m).read(touchedDays)
-          def enc(v: org.apache.spark.sql.Column) =
-            graft.codec.GorillaAgg.gorillaEncode(col("bucket_epoch"), v)
-          val blocks = t5m.groupBy(col("domain"), col("day_epoch"))
-            .agg(
-              enc(coalesce(col("sum_value_micros").cast("double"),
-                           lit(Double.NaN))).as("block"),
-              enc(col("n_ok").cast("double")).as("ok_block"),
-              enc(col("n_nodata").cast("double")).as("nodata_block"),
-              enc(col("n_undetect").cast("double")).as("undetect_block"))
-          val lineage = todo.map(p =>
-            p -> PartitionLineage(inputSnapshot, "ok")).toMap
-          val m = blocksTable.commitOverwrite(blocks, "day_epoch", lineage)
-          val ms = elapsedMs
-          todo.foreach { p =>
-            entries += RunEntry(key, p,
-              m.partitions.get(p).map(_.rows).getOrElse(0L), "ok", ms)
-          }
-        } catch {
-          case e: Exception =>
-            todo.foreach(p => entries += RunEntry(key, p, 0L,
-              s"error:${e.getClass.getSimpleName}", elapsedMs))
+      if (todo.isEmpty) return
+      if (upstream.exists(failed.contains)) {
+        failed += key
+        todo.foreach(p => entries += RunEntry(key, p, 0L, "skipped:upstream_failed", 0L))
+      } else try {
+        val lineage = todo.map(p =>
+          p -> PartitionLineage(inputSnapshot, "ok")).toMap
+        val m = table.commitOverwrite(compute(todo), "day_epoch", lineage)
+        val ms = elapsedMs
+        todo.foreach { p =>
+          entries += RunEntry(key, p,
+            m.partitions.get(p).map(_.rows).getOrElse(0L), "ok", ms)
         }
+      } catch {
+        case e: Exception =>
+          failed += key
+          todo.foreach(p => entries += RunEntry(key, p, 0L,
+            s"error:${e.getClass.getSimpleName}", elapsedMs))
       }
+    }
+
+    // ---- Gorilla value blocks: one compressed binary block per
+    // (series, day) over the 5m points (north-star binary column) ----
+    // THREE-STATE blocks: the value channel encodes every bucket
+    // (NaN where zero OK rows — the bit pattern Gorilla-XORs like
+    // any other double and decode maps back to null), and three
+    // parallel count channels carry the OK/NODATA/UNDETECT bucket
+    // states through the codec round-trip exactly as they travel
+    // the rollup cascade. All four channels share one ts grid per
+    // (series, day), so decode re-aligns them positionally.
+    runStage("blocks", Some(TierSpec.T5m.name), blocksTable) { todo =>
+      val t5m = tableFor(TierSpec.T5m).read(todo)
+      def enc(v: org.apache.spark.sql.Column) =
+        graft.codec.GorillaAgg.gorillaEncode(col("bucket_epoch"), v)
+      t5m.groupBy(col("domain"), col("day_epoch"))
+        .agg(
+          enc(coalesce(col("sum_value_micros").cast("double"),
+                       lit(Double.NaN))).as("block"),
+          enc(col("n_ok").cast("double")).as("ok_block"),
+          enc(col("n_nodata").cast("double")).as("nodata_block"),
+          enc(col("n_undetect").cast("double")).as("undetect_block"))
+    }
+
+    // ---- Sketch ladders: finest level from the touched raw days, the
+    // coarser level by MERGE of the finer tier (per-band sums / HLL
+    // register union) — never a raw re-scan. Day is the partition unit
+    // at both levels, so I1/I2 watermark recompute and late-data
+    // partition rebuilds work exactly as for the value cascade.
+    def dayCol(c: org.apache.spark.sql.Column) =
+      c - (c % TierSpec.T1d.seconds)
+    runStage("hist_1h", None, histTable1h) { todo =>
+      val raw = rawTable.read(todo)
+        .withColumn("value_micros", Rollup.micros(col("value")))
+      Sketches.histFromRaw(raw, TierSpec.T1h, "value_micros", HistBands)
+        .withColumn("day_epoch", dayCol(col("bucket_epoch")))
+    }
+    runStage("hist_1d", Some("hist_1h"), histTable1d) { todo =>
+      Sketches.histCascade(histTable1h.read(todo), TierSpec.T1d, HistBands)
+        .withColumn("day_epoch", col("bucket_epoch"))
+    }
+    runStage("hll_1h", None, hllTable1h) { todo =>
+      Sketches.fromRaw(rawTable.read(todo), TierSpec.T1h)
+        .withColumn("day_epoch", dayCol(col("bucket_epoch")))
+    }
+    runStage("hll_1d", Some("hll_1h"), hllTable1d) { todo =>
+      Sketches.cascade(hllTable1h.read(todo), TierSpec.T1d)
+        .withColumn("day_epoch", col("bucket_epoch"))
     }
 
     val manifest = RunManifest(runId, inputSnapshot, entries.result())
@@ -267,17 +312,23 @@ final class TierRunner(spark: SparkSession, root: String,
   def applyRetention(keepDays: Map[TierSpec, Int],
                      keepSnapshots: Int = 2,
                      keepBlockDays: Option[Int] = None,
-                     keepRawDays: Option[Int] = None): Map[String, Set[String]] = {
+                     keepRawDays: Option[Int] = None,
+                     keepSketchDays: Option[Int] = None): Map[String, Set[String]] = {
     val tiers = keepDays.map { case (t, days) =>
       t.name -> dropOld(tableFor(t), days, keepSnapshots)
     }
-    // the Gorilla block table and the raw day table age out on their
-    // own horizons (blocks usually share the 5m tier's; raw is the
-    // replay/backfill buffer) — both day-partitioned, same manifest-only
-    // mechanism
+    // the Gorilla block table, the raw day table, and the sketch
+    // ladders age out on their own horizons (blocks usually share the
+    // 5m tier's; raw is the replay/backfill buffer) — all
+    // day-partitioned, same manifest-only mechanism
     val extra =
       keepBlockDays.map(d => "blocks" -> dropOld(blocksTable, d, keepSnapshots)) ++
-      keepRawDays.map(d => "raw" -> dropOld(rawTable, d, keepSnapshots))
+      keepRawDays.map(d => "raw" -> dropOld(rawTable, d, keepSnapshots)) ++
+      keepSketchDays.toSeq.flatMap(d => Seq(
+        "hist_1h" -> dropOld(histTable1h, d, keepSnapshots),
+        "hist_1d" -> dropOld(histTable1d, d, keepSnapshots),
+        "hll_1h" -> dropOld(hllTable1h, d, keepSnapshots),
+        "hll_1d" -> dropOld(hllTable1d, d, keepSnapshots)))
     tiers ++ extra
   }
 
@@ -295,6 +346,22 @@ final class TierRunner(spark: SparkSession, root: String,
 
   /** Read a tier's current snapshot. */
   def tier(t: TierSpec): DataFrame = tableFor(t).read()
+
+  /** Read the exact histogram sketch tier (1h or 1d bands ladder). */
+  def histTier(t: TierSpec): DataFrame = t match {
+    case TierSpec.T1h => histTable1h.read()
+    case TierSpec.T1d => histTable1d.read()
+    case other => throw new IllegalArgumentException(
+      s"no histogram tier at ${other.name}")
+  }
+
+  /** Read the HLL distinct-url sketch tier (1h or 1d ladder). */
+  def hllTier(t: TierSpec): DataFrame = t match {
+    case TierSpec.T1h => hllTable1h.read()
+    case TierSpec.T1d => hllTable1d.read()
+    case other => throw new IllegalArgumentException(
+      s"no HLL tier at ${other.name}")
+  }
 
   /** Read the per-(series, day) Gorilla value blocks. */
   def blocks(): DataFrame = blocksTable.read()

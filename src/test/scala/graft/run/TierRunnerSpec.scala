@@ -85,6 +85,52 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
            sortedRows(full1d.select(cols: _*)))
   }
 
+  test("sketch tiers ride the watermark: touched days recomputed, others carried forward") {
+    val root = tmpRoot()
+    val runner = new TierRunner(spark, root)
+    val pages = WebPages.load(spark, sfDir)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    runner.run("s1", runner.ingest(pages.filter(col("warc_ts") < cut)))
+    val histBefore = new graft.table.TierTable(s"$root/hist_1d", spark)
+      .currentManifest.get.partitions
+    val touched = runner.ingest(pages.filter(col("warc_ts") >= cut))
+    val m2 = runner.run("s2", touched)
+    // the second run recomputed ONLY the touched days for every sketch
+    // stage (I1 watermark), and each stage committed ok
+    for (key <- Seq("hist_1h", "hist_1d", "hll_1h", "hll_1d")) {
+      val ents = m2.entries.filter(_.tier == key)
+      assert(ents.map(_.partition).toSet == touched, s"$key recompute set")
+      assert(ents.forall(_.status == "ok"), s"$key statuses")
+    }
+    // untouched day partitions carried forward byte-identically (same
+    // path, same checksum — no rewrite, I2 copy-on-write)
+    val histAfter = new graft.table.TierTable(s"$root/hist_1d", spark)
+      .currentManifest.get.partitions
+    val untouched = histBefore.keySet -- touched
+    assert(untouched.nonEmpty)
+    untouched.foreach { k =>
+      assert(histAfter(k) == histBefore(k), s"day $k was rewritten")
+    }
+    // and the maintained 1d histogram equals the direct full-data one
+    val p = pages.withColumn("value_micros", Rollup.micros(col("value")))
+    val direct = graft.ops.Sketches.histCascade(
+      graft.ops.Sketches.histFromRaw(p, TierSpec.T1h, "value_micros", 8),
+      TierSpec.T1d, 8)
+    val cols = (Seq("domain", "bucket_epoch") ++ (0 until 8).map(i => s"h$i"))
+      .map(col)
+    assert(sortedRows(runner.histTier(TierSpec.T1d).select(cols: _*)) ==
+           sortedRows(direct.select(cols: _*)))
+    // HLL ladder: maintained estimate within ±5% of exact per (domain, day)
+    val est = graft.ops.Sketches.estimated(runner.hllTier(TierSpec.T1d))
+    val exact = pages.groupBy(col("domain"),
+        Rollup.bucket(col("warc_epoch"), TierSpec.T1d))
+      .agg(countDistinct(col("url")).as("ex"))
+    val bad = est.join(exact, Seq("domain", "bucket_epoch"))
+      .filter(abs(col("distinct_est") - col("ex")) > col("ex") * 0.05 + 1)
+      .count()
+    assert(bad == 0, s"$bad (domain, day) estimates off by >5%")
+  }
+
   test("resume skips partitions already committed ok") {
     val root = tmpRoot()
     val runner = new TierRunner(spark, root)
