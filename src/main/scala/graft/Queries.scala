@@ -397,6 +397,59 @@ object Queries {
           |FROM events""".stripMargin,
         "user_id", "t_epoch", "event_id", 1800L))),
 
+    // Sessionization on the MULTI-COLUMN production key
+    // (domain, url_bucket) — the composite-key overload, oracle-gated
+    // like its GapFill sibling: the skew-safe bucketed two-phase form
+    // keyed on the composite, 1h inactivity gap over the page stream.
+    "ts_sessionize_bucketed" -> QueryDef(
+      run = (s, dir) => {
+        val keyed = pages(s, dir).select(
+          col("domain"),
+          pmod(graft.functions.Portable.hash60(col("url")), lit(8L))
+            .as("url_bucket"),
+          col("warc_epoch"), col("event_id"))
+        graft.ops.Sessionize.assignBucketed(
+            keyed, Seq("domain", "url_bucket"), "warc_epoch", "event_id",
+            gapSeconds = 3600L, bucketSeconds = 6L * 3600L)
+          .groupBy(col("domain"), col("url_bucket"), col("session_seq"))
+          .agg(count(lit(1)).as("n_events"),
+               min(col("warc_epoch")).as("start_epoch"),
+               max(col("warc_epoch")).as("end_epoch"))
+          .withColumn("duration_s", col("end_epoch") - col("start_epoch"))
+      },
+      oracle = Some {
+        val h = graft.functions.Portable.hash60Sql("url")
+        s"""${WebPages.oracleCte},
+           |ev AS (
+           |  SELECT domain, ($h % 8) AS url_bucket, warc_epoch, event_id
+           |  FROM webpages
+           |),
+           |marked AS (
+           |  SELECT domain, url_bucket, warc_epoch, event_id,
+           |         CASE WHEN lag(warc_epoch) OVER w IS NULL
+           |                OR warc_epoch - lag(warc_epoch) OVER w > 3600
+           |              THEN 1 ELSE 0 END AS newsess
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY domain, url_bucket
+           |               ORDER BY warc_epoch, event_id)
+           |),
+           |assigned AS (
+           |  SELECT domain, url_bucket, warc_epoch,
+           |         sum(newsess) OVER (PARTITION BY domain, url_bucket
+           |           ORDER BY warc_epoch, event_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS session_seq
+           |  FROM marked
+           |)
+           |SELECT domain, url_bucket,
+           |       CAST(session_seq AS BIGINT) AS session_seq,
+           |       CAST(count(*) AS BIGINT) AS n_events,
+           |       min(warc_epoch) AS start_epoch,
+           |       max(warc_epoch) AS end_epoch,
+           |       max(warc_epoch) - min(warc_epoch) AS duration_s
+           |FROM assigned GROUP BY 1, 2, 3""".stripMargin
+      }),
+
     // Forward as-of join: each page row picks up the NEXT daily rollup
     // at or after its timestamp (the correction/late-rollup lookup).
     "asof_join_forward" -> QueryDef(
@@ -461,6 +514,74 @@ object Queries {
            |       ${TextStats.scrubPiiSql(pii)} AS scrubbed,
            |       ${TextStats.piiCountsSql(pii).mkString(",\n       ")}
            |FROM docs""".stripMargin
+      }),
+
+    // The SAME scrubber under TWO ruleset versions side by side (the
+    // registry's point: knobs iterate weekly, behavior is pinned per
+    // version): v1.0 has no SSN pattern — the ssn-shaped injection
+    // survives; v2.0 scrubs it. Both engines parametrize from the same
+    // CurationRuleset, so each version gates value-for-value.
+    "text_scrub_rulesets" -> QueryDef(
+      run = (s, dir) => {
+        import graft.core.CurationRuleset
+        val pii = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com ssn 123-45-6789 call 555-010-1234"))
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        def one(rs: CurationRuleset) =
+          docs.select(lit(rs.version).as("ruleset"), col("doc_id"),
+                      TextStats.scrubPii(pii, rs).as("scrubbed"))
+        one(CurationRuleset.V1).unionByName(one(CurationRuleset.V2))
+      },
+      oracle = Some {
+        import graft.core.CurationRuleset
+        val pii = "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
+          "'@mail.example.com ssn 123-45-6789 call 555-010-1234')"
+        def one(rs: CurationRuleset) =
+          s"""SELECT '${rs.version}' AS ruleset, doc_id,
+             |       ${TextStats.scrubPiiSql(pii, rs)} AS scrubbed
+             |FROM documents""".stripMargin
+        s"${one(CurationRuleset.V1)}\nUNION ALL\n${one(CurationRuleset.V2)}"
+      }),
+
+    // corpus_filter under two ruleset versions: v2.0's extra stopword
+    // language and stricter quality floor change the keep set — both
+    // versions run in ONE plan (tagged union), each matching its
+    // parametrized oracle exactly. A/B-ing a ruleset iteration is one
+    // query away, not a code change.
+    "corpus_filter_rulesets" -> QueryDef(
+      run = (s, dir) => {
+        import graft.core.CurationRuleset
+        import org.apache.spark.sql.expressions.Window
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        def one(rs: CurationRuleset) =
+          TextStats.stats(docs, "doc_id", "text", rs)
+            .withColumn("keep_id",
+              min(col("doc_id")).over(Window.partitionBy("fp_md5")))
+            .filter(col("doc_id") === col("keep_id") &&
+              col("quality_milli") >= rs.qualityFloorMilli &&
+              col("lang_pred") =!= "und")
+            .select(lit(rs.version).as("ruleset"), col("doc_id"),
+                    col("lang_pred"), col("quality_milli"))
+        one(CurationRuleset.V1).unionByName(one(CurationRuleset.V2))
+      },
+      oracle = Some {
+        import graft.core.CurationRuleset
+        def one(rs: CurationRuleset) =
+          s"""SELECT '${rs.version}' AS ruleset, doc_id, lang_pred, quality_milli
+             |FROM (
+             |  SELECT s.*, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM (
+             |    SELECT doc_id,
+             |           ${TextStats.langIdSql("text", rs).replace("\n", "\n           ")} AS lang_pred,
+             |           ${TextStats.qualityMilliSql("text", rs).replace("\n", "\n           ")} AS quality_milli,
+             |           md5(lower(text)) AS fp
+             |    FROM documents
+             |  ) s
+             |)
+             |WHERE doc_id = keep_id
+             |  AND quality_milli >= ${rs.qualityFloorMilli}
+             |  AND lang_pred <> 'und'""".stripMargin
+        s"${one(CurationRuleset.V1)}\nUNION ALL\n${one(CurationRuleset.V2)}"
       }),
 
     // Gopher/MassiveText repetition rules: duplicate-chunk fraction +
@@ -539,13 +660,16 @@ object Queries {
     // Sequence packing (the training-data layout step): global token
     // prefix-sum → fixed 512-token sequence ids/offsets per document.
     // The GATED form is the skew-safe bucketed two-phase prefix sum (no
-    // global sort); spec-pinned identical to the one-window form.
+    // global sort) with the bucket width DERIVED from the id span
+    // (phase-2 stream ≤ targetBuckets rows at any corpus size);
+    // spec-pinned identical to the one-window form.
     "corpus_pack" -> QueryDef(
       run = (s, dir) => {
         val d = s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"),
             graft.functions.Portable.tokenCount(col("text")).as("n_tokens"))
-        graft.ops.Pack.packBucketed(d, "doc_id", "n_tokens", 512L, 64L)
+        graft.ops.Pack.packBucketedAuto(d, "doc_id", "n_tokens", 512L,
+                                        targetBuckets = 64L)
       },
       oracle = Some(graft.ops.Pack.packOracleSql(
         s"SELECT doc_id, ${graft.functions.Portable.tokenCountSql("text")} AS n_tokens FROM documents",

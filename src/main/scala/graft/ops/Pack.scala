@@ -51,9 +51,40 @@ object Pack {
            nTokensCol, seqLen)
   }
 
+  /** Phase-1 bucket width derived from the id span, so phase 2's
+    * single-ordered window is BOUNDED: the per-bucket totals stream has
+    * `ceil(span / bucketSize) ≤ targetBuckets` rows no matter the
+    * corpus size (10^12 ids at the default target → width ~1.5·10^7,
+    * phase 2 sees ≤ 65536 rows — one small task, not 10^10 rows). One
+    * narrow min/max agg; empty corpus → 1.
+    */
+  def deriveBucketSize(df: DataFrame, idCol: String,
+                       targetBuckets: Long = 65536L): Long = {
+    require(targetBuckets >= 1, "need at least one bucket")
+    val r = df.agg(min(col(idCol).cast("long")).as("mn"),
+                   max(col(idCol).cast("long")).as("mx")).head()
+    if (r.isNullAt(0)) 1L
+    else {
+      val span = r.getLong(1) - r.getLong(0) + 1L
+      math.max(1L, (span + targetBuckets - 1L) / targetBuckets)
+    }
+  }
+
+  /** [[packBucketed]] with the bucket width derived by
+    * [[deriveBucketSize]] — the form a pipeline should call: the
+    * phase-2 stream bound holds at ANY corpus scale without retuning
+    * the knob (spec-pinned).
+    */
+  def packBucketedAuto(df: DataFrame, idCol: String, nTokensCol: String,
+                       seqLen: Long, targetBuckets: Long = 65536L): DataFrame =
+    packBucketed(df, idCol, nTokensCol, seqLen,
+                 deriveBucketSize(df, idCol, targetBuckets))
+
   /** Skew-safe two-phase form: identical output, no global sort. The
     * raw-row window partitions by (`idCol DIV bucketSize`); bucket base
     * offsets come from ONE window over the per-bucket totals stream.
+    * Prefer [[packBucketedAuto]], which derives `bucketSize` so the
+    * phase-2 stream stays bounded at any scale.
     */
   def packBucketed(df: DataFrame, idCol: String, nTokensCol: String,
                    seqLen: Long, bucketSize: Long): DataFrame = {

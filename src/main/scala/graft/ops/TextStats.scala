@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.CurationRuleset
 import graft.functions.Portable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -16,26 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** (lang, stopwords) table for the n-gram language heuristic. Fixed
-    * priority order breaks ties deterministically.
+  /** (lang, stopwords) table of the DEFAULT ruleset — the knobs now
+    * live in the versioned [[CurationRuleset]] registry; every operator
+    * below takes a ruleset (defaulting to
+    * [[CurationRuleset.Default]]).
     */
-  val stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "is", "and"),
-    "de" -> Seq("der", "die", "das", "und"),
-    "fr" -> Seq("le", "la", "et", "les"),
-    "es" -> Seq("el", "los", "que", "y"))
+  val stopwords: Seq[(String, Seq[String])] = CurationRuleset.Default.stopwords
 
   private def padded(c: Column): Column = concat(lit(" "), c, lit(" "))
   private def paddedSql(e: String): String = s"concat(' ', $e, ' ')"
 
   /** Stopword-hit count for one language over single-space text. */
-  def langScore(text: Column, lang: String): Column =
-    stopwords.toMap.apply(lang)
+  def langScore(text: Column, lang: String,
+                rs: CurationRuleset = CurationRuleset.Default): Column =
+    rs.stopwords.toMap.apply(lang)
       .map(w => Portable.occurrences(padded(text), s" $w "))
       .reduce(_ + _)
 
-  def langScoreSql(expr: String, lang: String): String =
-    stopwords.toMap.apply(lang)
+  def langScoreSql(expr: String, lang: String,
+                   rs: CurationRuleset = CurationRuleset.Default): String =
+    rs.stopwords.toMap.apply(lang)
       .map(w => Portable.occurrencesSql(paddedSql(expr), s" $w "))
       .mkString("(", " + ", ")")
 
@@ -43,8 +44,9 @@ object TextStats {
     * the fixed order of [[stopwords]]; score 0 everywhere → "und"
     * (undetermined).
     */
-  def langId(text: Column): Column = {
-    val scored = stopwords.map { case (l, _) => l -> langScore(text, l) }
+  def langId(text: Column,
+             rs: CurationRuleset = CurationRuleset.Default): Column = {
+    val scored = rs.stopwords.map { case (l, _) => l -> langScore(text, l, rs) }
     val anyHit = scored.map(_._2).reduce(_ + _) > 0
     val best = scored.tail.foldLeft(when(lit(true), scored.head._1)) {
       case (acc, (l, s)) =>
@@ -55,8 +57,9 @@ object TextStats {
     when(anyHit, best).otherwise(lit("und"))
   }
 
-  def langIdSql(expr: String): String = {
-    val scores = stopwords.map { case (l, _) => l -> langScoreSql(expr, l) }
+  def langIdSql(expr: String,
+                rs: CurationRuleset = CurationRuleset.Default): String = {
+    val scores = rs.stopwords.map { case (l, _) => l -> langScoreSql(expr, l, rs) }
     val total = scores.map(_._2).mkString(" + ")
     // mirror of langId's fold: later lang wins only if strictly greater
     // than the max of all earlier ones
@@ -74,20 +77,22 @@ object TextStats {
     * and stopword presence, penalizes extreme mean word length.
     * Integral end-to-end.
     */
-  def qualityMilli(text: Column): Column = {
+  def qualityMilli(text: Column,
+                   rs: CurationRuleset = CurationRuleset.Default): Column = {
     val t = Portable.tokenCount(text)
     val chars = length(text) - (t - 1) // chars excluding separators
     // floor-div (Spark `/` is double division; floor matches DuckDB `//`)
     val wlMilli = floor((chars * 1000L) / t).cast("long")
-    val stops = stopwords.map { case (l, _) => langScore(text, l) }.reduce(_ + _)
+    val stops = rs.stopwords.map { case (l, _) => langScore(text, l, rs) }.reduce(_ + _)
     (least(t * lit(5L), lit(1000L))
       + least(stops * lit(20L), lit(200L))
       - when(wlMilli > 8000L, lit(200L)).otherwise(lit(0L))).cast("long")
   }
 
-  def qualityMilliSql(expr: String): String = {
+  def qualityMilliSql(expr: String,
+                      rs: CurationRuleset = CurationRuleset.Default): String = {
     val t = Portable.tokenCountSql(expr)
-    val stops = stopwords.map { case (l, _) => langScoreSql(expr, l) }.mkString(" + ")
+    val stops = rs.stopwords.map { case (l, _) => langScoreSql(expr, l, rs) }.mkString(" + ")
     s"""CAST(least($t * 5, 1000)
        |   + least(($stops) * 20, 200)
        |   - (CASE WHEN ((length($expr) - ($t - 1)) * 1000) // $t > 8000
@@ -119,40 +124,40 @@ object TextStats {
     * in the Java∩RE2 portable subset (no lookarounds, no backrefs) so
     * Spark and DuckDB scrub identically.
     */
-  val piiPatterns: Seq[(String, String, String)] = Seq(
-    // (?i): Jane.Doe@Example.COM must not survive (or half-survive) the
-    // scrub; the inline flag behaves identically in Java regex and RE2
-    ("email", "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
-    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
-    ("phone", "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b", "<PHONE>"))
+  val piiPatterns: Seq[(String, String, String)] =
+    CurationRuleset.Default.piiPatterns
 
   /** Replace emails / IPv4s / phone-shaped numbers with typed tokens,
     * in fixed order (an IP inside an already-scrubbed email cannot
     * re-match — order is part of the contract). Narrow codegen'd map
     * work: scrubbing 10^12 documents is scan-speed.
     */
-  def scrubPii(text: Column): Column =
-    piiPatterns.foldLeft(text) { case (c, (_, re, tok)) =>
+  def scrubPii(text: Column,
+               rs: CurationRuleset = CurationRuleset.Default): Column =
+    rs.piiPatterns.foldLeft(text) { case (c, (_, re, tok)) =>
       regexp_replace(c, re, tok)
     }
 
   /** DuckDB mirror — NOTE the 'g' flag: DuckDB's regexp_replace is
     * first-match-only by default, Spark's replaces all.
     */
-  def scrubPiiSql(expr: String): String =
-    piiPatterns.foldLeft(expr) { case (e, (_, re, tok)) =>
+  def scrubPiiSql(expr: String,
+                  rs: CurationRuleset = CurationRuleset.Default): String =
+    rs.piiPatterns.foldLeft(expr) { case (e, (_, re, tok)) =>
       s"regexp_replace($e, '$re', '$tok', 'g')"
     }
 
   /** Per-kind match counts (audit channel of the scrubber). */
-  def piiCounts(text: Column): Seq[Column] =
-    piiPatterns.map { case (kind, re, _) =>
+  def piiCounts(text: Column,
+                rs: CurationRuleset = CurationRuleset.Default): Seq[Column] =
+    rs.piiPatterns.map { case (kind, re, _) =>
       size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
         .as(s"n_$kind")
     }
 
-  def piiCountsSql(expr: String): Seq[String] =
-    piiPatterns.map { case (kind, re, _) =>
+  def piiCountsSql(expr: String,
+                   rs: CurationRuleset = CurationRuleset.Default): Seq[String] =
+    rs.piiPatterns.map { case (kind, re, _) =>
       s"CAST(len(regexp_extract_all($expr, '$re')) AS BIGINT) AS n_$kind"
     }
 
@@ -232,24 +237,26 @@ object TextStats {
   }
 
   /** Full per-document stats projection. */
-  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def stats(df: DataFrame, idCol: String, textCol: String,
+            rs: CurationRuleset = CurationRuleset.Default): DataFrame =
     df.select(
       col(idCol),
       Portable.tokenCount(col(textCol)).as("n_tokens"),
       tokenCountBpe(col(textCol)).as("n_tokens_bpe"),
-      langId(col(textCol)).as("lang_pred"),
-      qualityMilli(col(textCol)).as("quality_milli"),
+      langId(col(textCol), rs).as("lang_pred"),
+      qualityMilli(col(textCol), rs).as("quality_milli"),
       fingerprint(col(textCol)).as("fp_md5"),
       fingerprint60(col(textCol)).as("fp60"))
 
   def statsOracleSql(fromCte: String, table: String, idCol: String,
-                     textCol: String): String =
+                     textCol: String,
+                     rs: CurationRuleset = CurationRuleset.Default): String =
     s"""$fromCte
        |SELECT $idCol,
        |       ${Portable.tokenCountSql(textCol)} AS n_tokens,
        |       ${tokenCountBpeSql(textCol)} AS n_tokens_bpe,
-       |       ${langIdSql(textCol)} AS lang_pred,
-       |       ${qualityMilliSql(textCol)} AS quality_milli,
+       |       ${langIdSql(textCol, rs)} AS lang_pred,
+       |       ${qualityMilliSql(textCol, rs)} AS quality_milli,
        |       ${fingerprintSql(textCol)} AS fp_md5,
        |       ${fingerprint60Sql(textCol)} AS fp60
        |FROM $table""".stripMargin

@@ -98,7 +98,9 @@ final class TierRunner(spark: SparkSession, root: String,
     * partitions marked ok in an existing manifest for `runId` are
     * skipped.
     */
-  def run(runId: String, touchedDays: Set[String]): RunManifest = {
+  def run(runId: String, touchedDays: Set[String],
+          rulesetVersion: String =
+            graft.core.CurationRuleset.Default.version): RunManifest = {
     val ckptPath = Paths.get(s"$root/checkpoints/run-$runId.json")
     Files.createDirectories(ckptPath.getParent)
     val previous: Map[String, String] =
@@ -287,7 +289,8 @@ final class TierRunner(spark: SparkSession, root: String,
         .withColumn("day_epoch", col("bucket_epoch"))
     }
 
-    val manifest = RunManifest(runId, inputSnapshot, entries.result())
+    val manifest = RunManifest(runId, inputSnapshot, entries.result(),
+                               rulesetVersion)
     val tmp = ckptPath.resolveSibling(s".run-$runId.json.tmp")
     Files.writeString(tmp, manifest.toJson)
     Files.move(tmp, ckptPath, StandardCopyOption.ATOMIC_MOVE,
@@ -403,18 +406,23 @@ final case class RunEntry(tier: String, partition: String, rows: Long,
                           status: String, elapsedMs: Long)
 
 /** Checkpoint manifest of one tier run: per (tier, partition) lineage
-  * + metrics. JSON format is hand-rolled (no external deps) and
-  * parsed back only for resume status.
+  * + metrics, plus the curation-ruleset version the run executed under
+  * (the auditable config surface — [[graft.core.CurationRuleset]]).
+  * JSON format is hand-rolled (no external deps) and parsed back only
+  * for resume status.
   */
 final case class RunManifest(runId: String, inputSnapshot: Long,
-                             entries: Seq[RunEntry]) {
+                             entries: Seq[RunEntry],
+                             rulesetVersion: String =
+                               graft.core.CurationRuleset.Default.version) {
   def toJson: String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val parts = entries.map { e =>
       s"""{"tier":${q(e.tier)},"partition":${q(e.partition)},"rows":${e.rows},""" +
         s""""status":${q(e.status)},"elapsed_ms":${e.elapsedMs}}"""
     }.mkString("[", ",", "]")
-    s"""{"run_id":${q(runId)},"input_snapshot":$inputSnapshot,"partitions":$parts}"""
+    s"""{"run_id":${q(runId)},"input_snapshot":$inputSnapshot,""" +
+      s""""ruleset":${q(rulesetVersion)},"partitions":$parts}"""
   }
   def okCount: Int = entries.count(_.status == "ok")
 }

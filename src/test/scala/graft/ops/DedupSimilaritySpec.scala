@@ -176,6 +176,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     exact.unpersist(); ivf.unpersist()
   }
 
+  test("k-means training buys recall: trained >= raw seeds per probe, both sizes") {
+    // The 2-iteration Lloyd cost must purchase a measurable benefit:
+    // at the same (nlist, nprobe) budget, recall@5 of the trained
+    // codebook is at least the raw hash-rank seeds' — on the corpus
+    // AND on a 2x corpus (the knob-constancy scale shape).
+    val nprobe = 3
+    val bigger = emb.unionByName(
+      emb.withColumn("vec_id", col("vec_id") + 1000000L))
+    for ((corpus, tag) <- Seq((emb, "1x"), (bigger, "2x"))) {
+      val queries = corpus.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(corpus, queries,
+          "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id").cache()
+      val n = exact.count().toDouble
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+        exact.join(df.select("query_id", "neighbor_id"),
+                   Seq("query_id", "neighbor_id"), "left_semi").count() / n
+      val raw = recallOf(Similarity.ivfTopK(corpus, queries,
+        "vec_id", "embedding", 5, nprobe = nprobe))
+      val trained = recallOf(Similarity.ivfTopKTrained(corpus, queries,
+        "vec_id", "embedding", 5, nprobe = nprobe))
+      assert(trained >= raw,
+        f"$tag: trained recall $trained%.3f < raw seeds $raw%.3f")
+      exact.unpersist()
+    }
+  }
+
   test("native dot product is bit-identical to the built-in fold it replaces") {
     val v = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))

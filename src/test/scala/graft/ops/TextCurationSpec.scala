@@ -82,6 +82,52 @@ class TextCurationSpec extends AnyFunSuite with SparkSuite {
     assert("hashpartitioning\\(_bkt".r.findFirstIn(p).isDefined, p.take(900))
   }
 
+  test("curation ruleset registry: versions resolve, unknown fails, patterns disjoint") {
+    import graft.core.CurationRuleset
+    assert(CurationRuleset("v1.0") == CurationRuleset.V1)
+    assert(CurationRuleset("v2.0").piiPatterns.exists(_._1 == "ssn"))
+    intercept[IllegalArgumentException](CurationRuleset("v9.9"))
+    // V1 is the frozen default the unversioned operators run under
+    assert(CurationRuleset.Default == CurationRuleset.V1)
+    assert(TextStats.stopwords == CurationRuleset.V1.stopwords)
+    // v2's ssn pattern and the phone pattern never cross-match; v1
+    // leaves the ssn shape untouched
+    def scrub(rs: CurationRuleset) = spark.range(1)
+      .select(TextStats.scrubPii(lit("id 123-45-6789 tel 555-010-1234"), rs)
+        .as("s")).head().getString(0)
+    assert(scrub(CurationRuleset.V2) == "id <SSN> tel <PHONE>")
+    assert(scrub(CurationRuleset.V1) == "id 123-45-6789 tel <PHONE>")
+  }
+
+  test("derived pack bucket width bounds the phase-2 stream at any id span") {
+    import spark.implicits._
+    // sparse ids spanning 10^10 — the shape where a hard-coded width
+    // would blow the phase-2 window up to O(corpus) rows
+    val sparse = (0L until 1000L).map(i => (i * 10000000L, 7L)).toDF("id", "nt")
+    val target = 100L
+    val w = Pack.deriveBucketSize(sparse, "id", target)
+    assert(w == 99900001L, s"width $w") // ceil(span 9990000001 / 100)
+    // phase-2 input = distinct buckets ≤ target, regardless of span
+    val buckets = sparse.select((col("id") - col("id") % w).as("b"))
+      .distinct().count()
+    assert(buckets <= target, s"$buckets buckets > target $target")
+    // dense ids too (the toy-corpus shape)
+    val dense = (0L until 500L).map(i => (i, 3L)).toDF("id", "nt")
+    assert(Pack.deriveBucketSize(dense, "id", 64L) == 8L) // ceil(500/64)
+    // the auto form equals the global window exactly on both shapes
+    val cols = Seq("id", "nt", "start_offset", "seq_id", "seq_offset",
+                   "end_seq_id").map(col)
+    for (d <- Seq(sparse, dense)) {
+      val g = Pack.pack(d, "id", "nt", 512L).select(cols: _*)
+      val a = Pack.packBucketedAuto(d, "id", "nt", 512L, target).select(cols: _*)
+      assert(a.exceptAll(g).isEmpty && g.exceptAll(a).isEmpty)
+    }
+    // degenerate: empty corpus derives width 1 and packs to empty
+    val empty = dense.filter(lit(false))
+    assert(Pack.deriveBucketSize(empty, "id") == 1L)
+    assert(Pack.packBucketedAuto(empty, "id", "nt", 512L).isEmpty)
+  }
+
   test("sequence packing invariants hold on random inputs (seeded)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.rng.Seed

@@ -405,9 +405,16 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     val root = tmpRoot()
     val runner = new TierRunner(spark, root)
     val pages = WebPages.load(spark, sfDir)
-    val m = runner.run("r1", runner.ingest(pages))
+    val m = runner.run("r1", runner.ingest(pages),
+                       rulesetVersion = graft.core.CurationRuleset.V2.version)
     val parsed = RunManifest.parseStatuses(m.toJson)
     assert(parsed.nonEmpty && parsed.values.forall(_ == "ok"))
+    // the curation-ruleset version the run executed under is recorded
+    // in the checkpoint (audit trail for knob iterations)
+    assert(m.toJson.contains(""""ruleset":"v2.0""""))
+    val ckpt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/checkpoints/run-r1.json"))
+    assert(ckpt.contains(""""ruleset":"v2.0""""))
     // tier table manifest carries per-partition lineage
     val t5m = new graft.table.TierTable(s"$root/tier_5m", spark)
     val tm = t5m.currentManifest.get
