@@ -64,12 +64,13 @@ object Bench {
     "wp_base", "ts_rollup_5m", "ts_rollup_1h", "ts_rollup_1d",
     "ts_rollup_30d", "ts_rollup_flags_1h", "ts_gapfill_1h",
     "ts_gapfill_series_1h", "ts_gapfill_bucketed", "ts_ffill_1h",
-    "ts_interp_1h", "ts_sessionize",
+    "ts_interp_1h", "ts_sessionize", "ts_sessionize_bucketed",
     "ts_rate_1h", "asof_join",
     "gorilla_roundtrip", "profile_explode", "filename_parse",
     "dedup_exact", "dedup_minhash",
     "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_embedding_lsh", "dedup_chunks", "corpus_filter", "corpus_sample",
+    "dedup_embedding_lsh", "dedup_chunks", "corpus_filter",
+    "corpus_filter_rulesets", "corpus_sample",
     "corpus_mix", "corpus_pack", "decontaminate", "text_scrub",
     "text_quality_rep",
     "text_stats", "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
