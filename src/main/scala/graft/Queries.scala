@@ -483,6 +483,13 @@ object Queries {
 
   private val docsCte = "WITH docs AS (SELECT * FROM documents)"
 
+  /** The curation thresholds the unversioned queries run under — the
+    * registry's frozen default (v1.0), referenced instead of repeated
+    * literals so the registry is the single source of truth on BOTH
+    * engines (the *_rulesets queries exercise other versions).
+    */
+  private val Rules = graft.core.CurationRuleset.Default
+
   def textOps: Seq[(String, QueryDef)] = Seq(
     "text_stats" -> QueryDef(
       run = (s, dir) => TextStats.stats(
@@ -592,7 +599,8 @@ object Queries {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id") +: TextStats.repetitionCols(col("text")): _*)
           .withColumn("keep",
-            col("dup_chunk_milli") < 300L && col("top_bigram_milli") < 180L),
+            col("dup_chunk_milli") < Rules.dupChunkMaxMilli &&
+            col("top_bigram_milli") < Rules.topBigramMaxMilli),
       oracle = Some(
         s"""$docsCte,
            |r AS (
@@ -603,7 +611,7 @@ object Queries {
            |)
            |SELECT doc_id, n_chunks, dup_chunk_milli, n_bigrams,
            |       top_bigram_milli,
-           |       (dup_chunk_milli < 300 AND top_bigram_milli < 180) AS keep
+           |       (dup_chunk_milli < ${Rules.dupChunkMaxMilli} AND top_bigram_milli < ${Rules.topBigramMaxMilli}) AS keep
            |FROM r""".stripMargin)),
 
     // Decontamination composed into selection — the integration a real
@@ -625,7 +633,7 @@ object Queries {
           .withColumn("keep_id",
             min(col("doc_id")).over(Window.partitionBy("fp_md5")))
           .filter(col("doc_id") === col("keep_id") &&
-            col("quality_milli") >= 300L && col("lang_pred") =!= "und")
+            col("quality_milli") >= Rules.qualityFloorMilli && col("lang_pred") =!= "und")
           .join(contaminated, Seq("doc_id"), "left_anti")
           .select("doc_id", "lang_pred", "quality_milli")
       },
@@ -652,7 +660,7 @@ object Queries {
            |)
            |SELECT doc_id, lang_pred, quality_milli
            |FROM s2
-           |WHERE doc_id = keep_id AND quality_milli >= 300
+           |WHERE doc_id = keep_id AND quality_milli >= ${Rules.qualityFloorMilli}
            |  AND lang_pred <> 'und'
            |  AND NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = s2.doc_id)""".stripMargin
       }),
@@ -695,7 +703,7 @@ object Queries {
           .withColumn("keep_id",
             min(col("doc_id")).over(Window.partitionBy("fp_md5")))
           .filter(col("doc_id") === col("keep_id") &&
-            col("quality_milli") >= 300L && col("lang_pred") =!= "und")
+            col("quality_milli") >= Rules.qualityFloorMilli && col("lang_pred") =!= "und")
           .select("doc_id", "lang_pred", "quality_milli", "n_tokens")
       },
       oracle = Some(
@@ -714,7 +722,7 @@ object Queries {
            |SELECT doc_id, lang_pred, quality_milli, n_tokens
            |FROM s2
            |WHERE doc_id = keep_id
-           |  AND quality_milli >= 300 AND lang_pred <> 'und'""".stripMargin)),
+           |  AND quality_milli >= ${Rules.qualityFloorMilli} AND lang_pred <> 'und'""".stripMargin)),
 
     // Stratified quota sampling AFTER the curation filter: per
     // (lang, quality band) deterministic hash-threshold sampling to a
@@ -731,7 +739,7 @@ object Queries {
           .withColumn("keep_id",
             min(col("doc_id")).over(Window.partitionBy("fp_md5")))
           .filter(col("doc_id") === col("keep_id") &&
-            col("quality_milli") >= 300L && col("lang_pred") =!= "und")
+            col("quality_milli") >= Rules.qualityFloorMilli && col("lang_pred") =!= "und")
           .withColumn("band",
             floor(col("quality_milli") / 250L).cast("long"))
         val quota = least(lit(1000L),
@@ -759,7 +767,7 @@ object Queries {
            |         quality_milli // 250 AS band
            |  FROM s2
            |  WHERE doc_id = keep_id
-           |    AND quality_milli >= 300 AND lang_pred <> 'und'
+           |    AND quality_milli >= ${Rules.qualityFloorMilli} AND lang_pred <> 'und'
            |)
            |SELECT doc_id, lang_pred, quality_milli, band, n_tokens
            |FROM f
@@ -805,7 +813,7 @@ object Queries {
           .withColumn("keep_id",
             min(col("doc_id")).over(Window.partitionBy("fp_md5")))
           .filter(col("doc_id") === col("keep_id") &&
-            col("quality_milli") >= 300L && col("lang_pred") =!= "und")
+            col("quality_milli") >= Rules.qualityFloorMilli && col("lang_pred") =!= "und")
         val w = Sampling.quotaFor(col("lang_pred"), Seq("en" -> 2500L), 700L)
         Sampling.repeatByWeight(filtered, "doc_id", w)
           .select("doc_id", "lang_pred", "copy_idx")
@@ -827,7 +835,7 @@ object Queries {
            |  SELECT doc_id, lang_pred, ($wSql) AS w
            |  FROM s2
            |  WHERE doc_id = keep_id
-           |    AND quality_milli >= 300 AND lang_pred <> 'und'
+           |    AND quality_milli >= ${Rules.qualityFloorMilli} AND lang_pred <> 'und'
            |)
            |SELECT doc_id, lang_pred,
            |       ${Sampling.repeatByWeightSql("doc_id", "w")
@@ -878,7 +886,7 @@ object Queries {
           .withColumn("keep_id",
             min(col("doc_id")).over(Window.partitionBy("fp_md5")))
           .filter(col("doc_id") === col("keep_id") &&
-            col("quality_milli") >= 300L && col("lang_pred") =!= "und")
+            col("quality_milli") >= Rules.qualityFloorMilli && col("lang_pred") =!= "und")
           .join(clusters, Seq("doc_id"), "left")
           .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
           .withColumn("band",
@@ -914,7 +922,7 @@ object Queries {
            |         quality_milli // 250 AS band
            |  FROM s2 LEFT JOIN clusters c ON c.doc_id = s2.doc_id
            |  WHERE s2.doc_id = keep_id
-           |    AND quality_milli >= 300 AND lang_pred <> 'und'
+           |    AND quality_milli >= ${Rules.qualityFloorMilli} AND lang_pred <> 'und'
            |    AND (c.cluster_id IS NULL OR c.cluster_id = s2.doc_id)
            |)
            |SELECT doc_id, lang_pred, quality_milli, band, n_tokens

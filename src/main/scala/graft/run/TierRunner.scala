@@ -347,6 +347,31 @@ final class TierRunner(spark: SparkSession, root: String,
     }
   }
 
+  /** Z-order file maintenance for the raw day table — the north rule's
+    * "url-hash bucketing + warc_ts range partitioning" reflected in
+    * FILE layout, not just directory layout: each touched day's files
+    * are rewritten as contiguous runs of z(url_bucket, minute-of-day),
+    * so a scan filtered on a url bucket OR a sub-day time range prunes
+    * most files by parquet column stats (the Iceberg
+    * rewrite-data-files(zorder) maintenance step, run after ingest
+    * settles, e.g. behind the late-data horizon). Content-neutral:
+    * per-day rows and checksums unchanged (spec-pinned).
+    */
+  def compactRawZOrder(days: Set[String],
+                       filesPerPartition: Int = 8): Unit = {
+    // Dimensions of COMPARABLE bit width, or the interleave degenerates:
+    // url_bucket is 4 bits (0..15); pairing it with minute-of-day
+    // (11 bits) would leave minute's top 7 bits alone at the top of
+    // every z value — a pure time sort, no bucket clustering. Hour-of-
+    // day (5 bits, 0..23) keeps both dimensions in play; within an
+    // (hour, bucket) cell, warc_epoch stays contiguous enough for
+    // parquet column stats to prune sub-hour time predicates too.
+    rawTable.compactPartitionsZOrderExpr(days,
+      col("url_bucket"),
+      ((col("warc_epoch") % TierSpec.T1d.seconds) / 3600L).cast("long"),
+      bits = 5, filesPerPartition = filesPerPartition)
+  }
+
   /** Read a tier's current snapshot. */
   def tier(t: TierSpec): DataFrame = tableFor(t).read()
 

@@ -178,10 +178,18 @@ final class TierTable(val root: String, spark: SparkSession) {
     * catalog; this guard closes the in-process race the spec pins.)
     */
   private def publish(m: Manifest, expectedParent: Option[Long]): Manifest = {
+    // snapshot-id collision guard: two writers that both computed the
+    // same next id must not silently overwrite each other's manifest —
+    // the second one fails here, BEFORE clobbering, and retries with a
+    // fresh id (same contract as the CURRENT CAS below)
+    val target = manifests.resolve(s"manifest-${m.snapshot}.json")
+    if (Files.exists(target))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot ${m.snapshot} already published at $root " +
+          "(concurrent writer) — retry from a fresh read")
     val tmp = manifests.resolve(s".manifest-${m.snapshot}.json.tmp")
     Files.writeString(tmp, m.toJson)
-    Files.move(tmp, manifests.resolve(s"manifest-${m.snapshot}.json"),
-               StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     beforeCurrentMove()
     val now = currentSnapshotId
     if (now != expectedParent)
@@ -343,7 +351,21 @@ final class TierTable(val root: String, spark: SparkSession) {
     */
   def compactPartitionsZOrder(partitions: Set[String], xCol: String,
                               yCol: String, bits: Int = 16,
-                              filesPerPartition: Int = 8): Manifest = {
+                              filesPerPartition: Int = 8): Manifest =
+    compactPartitionsZOrderExpr(partitions, col(xCol), col(yCol), bits,
+                                filesPerPartition)
+
+  /** [[compactPartitionsZOrder]] with derived clustering DIMENSIONS
+    * (e.g. minute-of-day from an epoch column) — the expressions are
+    * evaluated per row for the split/sort only and never stored, so
+    * content neutrality is unchanged. Both must be deterministic
+    * functions of the row, non-negative, and < 2^bits.
+    */
+  def compactPartitionsZOrderExpr(partitions: Set[String],
+                                  x: org.apache.spark.sql.Column,
+                                  y: org.apache.spark.sql.Column,
+                                  bits: Int = 16,
+                                  filesPerPartition: Int = 8): Manifest = {
     require(filesPerPartition >= 1, "need at least one file per partition")
     val m = currentManifest.getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
@@ -351,7 +373,7 @@ final class TierTable(val root: String, spark: SparkSession) {
       m.partitions.get(k).exists(_.path.nonEmpty))
     if (present.isEmpty) return m
     val base = readManifest(m, Some(present))
-    val z = graft.functions.ZOrder.zValue(col(xCol), col(yCol), bits)
+    val z = graft.functions.ZOrder.zValue(x, y, bits)
     // one contiguous (partition, z)-range per task → one file per task
     // under the partition dir, each covering a small box in both dims
     val df = base

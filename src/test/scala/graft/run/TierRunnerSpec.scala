@@ -360,6 +360,42 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("raw z-order maintenance: content intact, files prune on bucket AND time-of-day") {
+    val root = tmpRoot()
+    val runner = new TierRunner(spark, root)
+    val pages = WebPages.load(spark, sfDir)
+    val days = runner.ingest(pages)
+    runner.run("z1", days)
+    val rawTable = new graft.table.TierTable(s"$root/tier_raw", spark)
+    val before = rawTable.currentManifest.get.partitions
+    runner.compactRawZOrder(days, filesPerPartition = 8)
+    // content-neutral: per-day rows + order-insensitive checksums
+    val after = rawTable.currentManifest.get.partitions
+    days.foreach { d =>
+      assert(after(d).rows == before(d).rows &&
+             after(d).checksum == before(d).checksum, s"day $d content changed")
+    }
+    // per-file boxes of ONE day prune on both clustering dimensions
+    val day = days.map(_.toLong).min
+    val one = rawTable.read(Set(day.toString))
+      .withColumn("hour", ((col("warc_epoch") % 86400L) / 3600L).cast("long"))
+    val boxes = one.groupBy(input_file_name().as("f"))
+      .agg(min("url_bucket").as("bmn"), max("url_bucket").as("bmx"),
+           min("hour").as("hmn"), max("hour").as("hmx"))
+      .collect()
+    val total = boxes.length
+    assert(total >= 4, s"only $total files after z-compaction")
+    val bCand = boxes.count(r => r.getLong(1) <= 3L && r.getLong(2) >= 3L)
+    val hCand = boxes.count(r => r.getLong(3) <= 4L && r.getLong(4) >= 3L)
+    assert(bCand <= total * 3 / 4, s"url_bucket=3 hits $bCand of $total files")
+    assert(hCand <= total * 3 / 4, s"hours 3-4 hit $hCand of $total files")
+    // the maintained table still drives the cascade: a full rebuild
+    // from the compacted raw equals the pre-compaction 1d tier
+    val before1d = sortedRows(runner.tier(TierSpec.T1d))
+    runner.rebuildAll("z2")
+    assert(sortedRows(runner.tier(TierSpec.T1d)) == before1d)
+  }
+
   test("skew mode (saltBuckets) produces identical tiers to the default runner") {
     val pages = WebPages.load(spark, sfDir)
       .filter(col("warc_epoch") < 1704672000L) // first 7 days: keep it quick
