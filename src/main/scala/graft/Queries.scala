@@ -528,17 +528,24 @@ object Queries {
     // version): v1.0 has no SSN pattern — the ssn-shaped injection
     // survives; v2.0 scrubs it. Both engines parametrize from the same
     // CurationRuleset, so each version gates value-for-value.
+    // ONE corpus scan: both versions' scrubs are computed per row and
+    // exploded to (version, scrubbed) pairs — A/B-ing a ruleset costs
+    // one extra projection, never a second 100 TB read (the DuckDB
+    // mirror unions two reads; its corpus is small).
     "text_scrub_rulesets" -> QueryDef(
       run = (s, dir) => {
         import graft.core.CurationRuleset
         val pii = concat(col("text"),
           lit(" contact user"), col("doc_id").cast("string"),
           lit("@mail.example.com ssn 123-45-6789 call 555-010-1234"))
-        val docs = s.read.parquet(s"$dir/documents.parquet")
-        def one(rs: CurationRuleset) =
-          docs.select(lit(rs.version).as("ruleset"), col("doc_id"),
-                      TextStats.scrubPii(pii, rs).as("scrubbed"))
-        one(CurationRuleset.V1).unionByName(one(CurationRuleset.V2))
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), explode(array(
+            Seq(CurationRuleset.V1, CurationRuleset.V2).map(rs =>
+              struct(lit(rs.version).as("ruleset"),
+                     TextStats.scrubPii(pii, rs).as("scrubbed"))): _*))
+            .as("r"))
+          .select(col("r.ruleset").as("ruleset"), col("doc_id"),
+                  col("r.scrubbed").as("scrubbed"))
       },
       oracle = Some {
         import graft.core.CurationRuleset
@@ -553,24 +560,38 @@ object Queries {
 
     // corpus_filter under two ruleset versions: v2.0's extra stopword
     // language and stricter quality floor change the keep set — both
-    // versions run in ONE plan (tagged union), each matching its
-    // parametrized oracle exactly. A/B-ing a ruleset iteration is one
-    // query away, not a code change.
+    // versions run in ONE plan, ONE corpus scan, ONE fingerprint
+    // window: the fingerprint (and so the exact-dup canonical) is
+    // ruleset-independent, so per-version lang/quality are computed
+    // side by side in the same projection, exploded to (version, …)
+    // rows, and gated by the per-version floor. A/B-ing a ruleset
+    // iteration costs one extra projection, never a second corpus
+    // read or shuffle.
     "corpus_filter_rulesets" -> QueryDef(
       run = (s, dir) => {
         import graft.core.CurationRuleset
         import org.apache.spark.sql.expressions.Window
+        val versions = Seq(CurationRuleset.V1, CurationRuleset.V2)
         val docs = s.read.parquet(s"$dir/documents.parquet")
-        def one(rs: CurationRuleset) =
-          TextStats.stats(docs, "doc_id", "text", rs)
-            .withColumn("keep_id",
-              min(col("doc_id")).over(Window.partitionBy("fp_md5")))
-            .filter(col("doc_id") === col("keep_id") &&
-              col("quality_milli") >= rs.qualityFloorMilli &&
-              col("lang_pred") =!= "und")
-            .select(lit(rs.version).as("ruleset"), col("doc_id"),
-                    col("lang_pred"), col("quality_milli"))
-        one(CurationRuleset.V1).unionByName(one(CurationRuleset.V2))
+        docs
+          // narrow map at the scan: fingerprint + BOTH versions' stats
+          // as two small structs — the text column never reaches the
+          // window exchange
+          .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp_md5"),
+            array(versions.map(rs =>
+              struct(lit(rs.version).as("ruleset"),
+                     TextStats.langId(col("text"), rs).as("lang_pred"),
+                     TextStats.qualityMilli(col("text"), rs).as("quality_milli"),
+                     lit(rs.qualityFloorMilli).as("floor"))): _*).as("rs"))
+          .withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy("fp_md5")))
+          .filter(col("doc_id") === col("keep_id"))
+          .select(col("doc_id"), explode(col("rs")).as("r"))
+          .filter(col("r.quality_milli") >= col("r.floor") &&
+            col("r.lang_pred") =!= "und")
+          .select(col("r.ruleset").as("ruleset"), col("doc_id"),
+                  col("r.lang_pred").as("lang_pred"),
+                  col("r.quality_milli").as("quality_milli"))
       },
       oracle = Some {
         import graft.core.CurationRuleset
@@ -1648,6 +1669,43 @@ object Queries {
            |       warc_epoch - (warc_epoch % ${TierSpec.T1d.seconds}) AS bucket_epoch,
            |       CAST(count(*) AS BIGINT) AS n,
            |       TRUE AS within_5pct
+           |FROM webpages GROUP BY 1, 2""".stripMargin)),
+
+    // Third sketch ladder through the runner lifecycle: KLL quantile
+    // sketches, 1h from touched raw days, 1d by sketch-MERGE — the
+    // incrementally maintained p50/p95 must satisfy the same rank-band
+    // property as the single-plan ts_quantile_1d gate.
+    "tier_quantile_incremental" -> QueryDef(
+      run = (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-tierkll").toString
+        val runner = new graft.run.TierRunner(s, root)
+        val p = pages(s, dir)
+        val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+        runner.run("q1", runner.ingest(p.filter(col("warc_ts") < cut)))
+        runner.run("q2", runner.ingest(p.filter(col("warc_ts") >= cut)))
+        val est = Sketches.quantEstimated(runner.kllTier(TierSpec.T1d))
+        val raw = p.withColumn("value_micros", Rollup.micros(col("value")))
+          .select(col("domain"),
+            Rollup.bucket(col("warc_epoch"), TierSpec.T1d), col("value_micros"))
+        def rankOk(r: org.apache.spark.sql.Column, q: Double) =
+          r >= floor(col("n") * (q - 0.10)) - 1 &&
+          r <= ceil(col("n") * (q + 0.10)) + 1
+        raw.join(est, Seq("domain", "bucket_epoch"))
+          .groupBy("domain", "bucket_epoch", "n", "p50", "p95")
+          .agg(
+            sum(when(col("value_micros") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+            sum(when(col("value_micros") <= col("p95"), 1L).otherwise(0L)).as("r95"))
+          .select(col("domain"), col("bucket_epoch"), col("n"),
+            rankOk(col("r50"), 0.5).as("p50_ok"),
+            rankOk(col("r95"), 0.95).as("p95_ok"))
+      },
+      oracle = Some(
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       warc_epoch - (warc_epoch % ${TierSpec.T1d.seconds}) AS bucket_epoch,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       TRUE AS p50_ok, TRUE AS p95_ok
            |FROM webpages GROUP BY 1, 2""".stripMargin)),
 
     // Per-(series, day) Gorilla value blocks stored as binary columns:

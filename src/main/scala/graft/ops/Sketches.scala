@@ -110,6 +110,27 @@ object Sketches {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** ALL three finest-level sketch aggregates in ONE pass: the ladders
+    * share the exact (series, bucket) grouping key, so a single
+    * scan + shuffle produces the histogram band counts, the HLL key
+    * sketch, AND the KLL value sketch side by side — the tier runner
+    * splits the result into its three tables (three writes, no
+    * re-aggregation, no repeated raw read).
+    */
+  def allFromRaw(pages: DataFrame, tier: TierSpec, valueCol: String,
+                 bands: Int, keyCol: String = "url",
+                 seriesCols: Seq[String] = Seq("domain")): DataFrame = {
+    val b = histBand(col(valueCol), bands)
+    val aggs = (0 until bands).map(i =>
+      sum(when(b === i, 1L).otherwise(0L)).as(s"h$i")) ++ Seq(
+      hll_sketch_agg(col(keyCol)).as("key_hll"),
+      expr(s"kll_sketch_agg_bigint($valueCol)").as("val_kll"),
+      count(lit(1)).as("n"))
+    pages
+      .groupBy(seriesCols.map(col) :+ Rollup.bucket(col("warc_epoch"), tier): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Coarser tier: per-band sums of the finer tier (lossless merge). */
   def histCascade(finer: DataFrame, tier: TierSpec, bands: Int,
                   seriesCols: Seq[String] = Seq("domain")): DataFrame = {

@@ -51,6 +51,8 @@ final class TierRunner(spark: SparkSession, root: String,
   private val histTable1d = new TierTable(s"$root/hist_1d", spark).init()
   private val hllTable1h = new TierTable(s"$root/hll_1h", spark).init()
   private val hllTable1d = new TierTable(s"$root/hll_1d", spark).init()
+  private val kllTable1h = new TierTable(s"$root/kll_1h", spark).init()
+  private val kllTable1d = new TierTable(s"$root/kll_1d", spark).init()
   private val HistBands = 8
 
   /** Append a raw increment (new web pages) as a new raw snapshot,
@@ -270,22 +272,42 @@ final class TierRunner(spark: SparkSession, root: String,
     // partition rebuilds work exactly as for the value cascade.
     def dayCol(c: org.apache.spark.sql.Column) =
       c - (c % TierSpec.T1d.seconds)
-    runStage("hist_1h", None, histTable1h) { todo =>
-      val raw = rawTable.read(todo)
-        .withColumn("value_micros", Rollup.micros(col("value")))
-      Sketches.histFromRaw(raw, TierSpec.T1h, "value_micros", HistBands)
+    // The three finest-level ladders share one grouping key, so ONE
+    // raw pass (one scan + one shuffle, built lazily and only if some
+    // 1h stage actually has work) feeds all three commits; each stage
+    // still fails/resumes independently. Run-scoped persist,
+    // unpersisted below.
+    var sketch1h: Option[DataFrame] = None
+    def sketch1hFrame: DataFrame = sketch1h.getOrElse {
+      val f = Sketches.allFromRaw(
+          rawTable.read(touchedDays)
+            .withColumn("value_micros", Rollup.micros(col("value"))),
+          TierSpec.T1h, "value_micros", HistBands)
         .withColumn("day_epoch", dayCol(col("bucket_epoch")))
+        .persist()
+      sketch1h = Some(f)
+      f
     }
+    def sketchCols(names: Seq[String])(todo: Set[String]): DataFrame =
+      sketch1hFrame
+        .filter(col("day_epoch").isin(todo.map(_.toLong).toSeq: _*))
+        .select(("domain" +: "bucket_epoch" +: names :+ "day_epoch").map(col): _*)
+    try {
+      runStage("hist_1h", None, histTable1h)(
+        sketchCols((0 until HistBands).map(i => s"h$i")))
+      runStage("hll_1h", None, hllTable1h)(sketchCols(Seq("key_hll", "n")))
+      runStage("kll_1h", None, kllTable1h)(sketchCols(Seq("val_kll", "n")))
+    } finally sketch1h.foreach(_.unpersist())
     runStage("hist_1d", Some("hist_1h"), histTable1d) { todo =>
       Sketches.histCascade(histTable1h.read(todo), TierSpec.T1d, HistBands)
         .withColumn("day_epoch", col("bucket_epoch"))
     }
-    runStage("hll_1h", None, hllTable1h) { todo =>
-      Sketches.fromRaw(rawTable.read(todo), TierSpec.T1h)
-        .withColumn("day_epoch", dayCol(col("bucket_epoch")))
-    }
     runStage("hll_1d", Some("hll_1h"), hllTable1d) { todo =>
       Sketches.cascade(hllTable1h.read(todo), TierSpec.T1d)
+        .withColumn("day_epoch", col("bucket_epoch"))
+    }
+    runStage("kll_1d", Some("kll_1h"), kllTable1d) { todo =>
+      Sketches.quantCascade(kllTable1h.read(todo), TierSpec.T1d)
         .withColumn("day_epoch", col("bucket_epoch"))
     }
 
@@ -331,7 +353,9 @@ final class TierRunner(spark: SparkSession, root: String,
         "hist_1h" -> dropOld(histTable1h, d, keepSnapshots),
         "hist_1d" -> dropOld(histTable1d, d, keepSnapshots),
         "hll_1h" -> dropOld(hllTable1h, d, keepSnapshots),
-        "hll_1d" -> dropOld(hllTable1d, d, keepSnapshots)))
+        "hll_1d" -> dropOld(hllTable1d, d, keepSnapshots),
+        "kll_1h" -> dropOld(kllTable1h, d, keepSnapshots),
+        "kll_1d" -> dropOld(kllTable1d, d, keepSnapshots)))
     tiers ++ extra
   }
 
@@ -389,6 +413,14 @@ final class TierRunner(spark: SparkSession, root: String,
     case TierSpec.T1d => hllTable1d.read()
     case other => throw new IllegalArgumentException(
       s"no HLL tier at ${other.name}")
+  }
+
+  /** Read the KLL quantile sketch tier (1h or 1d ladder). */
+  def kllTier(t: TierSpec): DataFrame = t match {
+    case TierSpec.T1h => kllTable1h.read()
+    case TierSpec.T1d => kllTable1d.read()
+    case other => throw new IllegalArgumentException(
+      s"no KLL tier at ${other.name}")
   }
 
   /** Read the per-(series, day) Gorilla value blocks. */

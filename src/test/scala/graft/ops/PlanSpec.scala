@@ -174,4 +174,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       WebPages.load(spark, sfDir), TierSpec.T1h, saltBuckets = 8))
     assert(o.contains("_salt"), o.take(800))
   }
+
+  test("two-ruleset A/B queries read the corpus ONCE (no per-version scan)") {
+    // evaluating an extra ruleset version must cost a projection, not a
+    // second 100 TB read: one FileScan, one fp window exchange, one
+    // Generate
+    val qs = graft.Queries.all.toMap
+    for (name <- Seq("text_scrub_rulesets", "corpus_filter_rulesets")) {
+      val p = plan(qs(name).run(spark, sfDir))
+      val scans = "FileScan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$name: $scans corpus scans\n${p.take(600)}")
+    }
+    val pf = plan(qs("corpus_filter_rulesets").run(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(pf).size == 1, pf.take(800))
+    // the window exchange carries fingerprint + per-version structs,
+    // never the text payload
+    assert(!pf.contains("text#") ||
+           !"Exchange[^\\n]*text#".r.findFirstIn(pf).isDefined, pf.take(800))
+  }
 }

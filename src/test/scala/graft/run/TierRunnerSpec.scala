@@ -97,7 +97,8 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     val m2 = runner.run("s2", touched)
     // the second run recomputed ONLY the touched days for every sketch
     // stage (I1 watermark), and each stage committed ok
-    for (key <- Seq("hist_1h", "hist_1d", "hll_1h", "hll_1d")) {
+    for (key <- Seq("hist_1h", "hist_1d", "hll_1h", "hll_1d",
+                    "kll_1h", "kll_1d")) {
       val ents = m2.entries.filter(_.tier == key)
       assert(ents.map(_.partition).toSet == touched, s"$key recompute set")
       assert(ents.forall(_.status == "ok"), s"$key statuses")
