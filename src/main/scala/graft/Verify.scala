@@ -61,11 +61,16 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Partial runs must be distinguishable from the driver's full
     // contract: a subset green run writes a marker naming what it
-    // covered, so it can never be graded as a full-registry pass.
-    only.foreach { names =>
-      val arr = names.toSeq.sorted.map(q).mkString("[", ",", "]")
-      Files.writeString(Paths.get(s"$outDir/partial_run.json"),
-        s"""{"partial":true,"verified_queries":$arr}""")
+    // covered, so it can never be graded as a full-registry pass — and
+    // a FULL run into a reused outDir removes any stale marker, so it
+    // can never be misgraded as partial.
+    only match {
+      case Some(names) =>
+        val arr = names.toSeq.sorted.map(q).mkString("[", ",", "]")
+        Files.writeString(Paths.get(s"$outDir/partial_run.json"),
+          s"""{"partial":true,"verified_queries":$arr}""")
+      case None =>
+        Files.deleteIfExists(Paths.get(s"$outDir/partial_run.json"))
     }
     spark.stop()
   }

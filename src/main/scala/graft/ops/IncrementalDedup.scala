@@ -85,6 +85,32 @@ final class IncrementalDedup(spark: SparkSession, root: String,
   private val bandTable = new TierTable(s"$root/bands", spark).init()
   private val pairTable = new TierTable(s"$root/pairs", spark).init()
 
+  // The signature/bucketing knobs are part of the ON-DISK contract: a
+  // reopen with different numHashes/bands/shingleK would mix
+  // incomparable signatures across ingests, and a different
+  // hashBuckets would mismatch the stored band_bucket values — both
+  // silently LOSING pairs. The first construction persists the config;
+  // every later one must match it exactly (maxBucket is deliberately
+  // NOT pinned: it is a query-time mask, re-applied from current state
+  // by pairs()).
+  locally {
+    import java.nio.file.{Files => F, Paths, StandardCopyOption}
+    val cfgPath = Paths.get(s"$root/DEDUP_CONFIG")
+    val cfg = "{\"num_hashes\":" + numHashes + ",\"bands\":" + bands +
+      ",\"shingle_k\":" + shingleK + ",\"hash_buckets\":" + hashBuckets + "}"
+    if (F.exists(cfgPath)) {
+      val stored = F.readString(cfgPath).trim
+      require(stored == cfg,
+        s"dedup table at $root was created with $stored; " +
+          s"reopening with $cfg would silently lose pairs")
+    } else {
+      val tmp = Paths.get(s"$root/.DEDUP_CONFIG.tmp")
+      F.writeString(tmp, cfg)
+      F.move(tmp, cfgPath, StandardCopyOption.ATOMIC_MOVE,
+             StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Physical clustering key of the band table: a stable hash of the
     * LSH bucket key, so all members of one (band, band_hash) bucket —
     * the only rows any witness pass ever joins — live in the same
@@ -182,7 +208,7 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     // that ingest legitimately found nothing
     try pairTable.read(Set(seq.toString))
       .select("id_a", "id_b").distinct()
-    catch { case _: IllegalStateException =>
+    catch { case _: graft.table.NoSnapshotDataException =>
       witnesses.select("id_a", "id_b").distinct() }
   }
 
@@ -283,9 +309,12 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     // a corpus that never produced a witness (no duplicate pairs
     // anywhere, or nothing ingested) has only explicit-empty pair
     // partitions — a legitimate empty result, not an error
+    // catches ONLY the legitimately-empty case — a corrupt or
+    // unsupported-format manifest still fails loudly (it must never
+    // read as "no duplicates")
     val witnesses =
       try pairTable.read()
-      catch { case _: IllegalStateException =>
+      catch { case _: graft.table.NoSnapshotDataException =>
         return emptyWitnesses().select("id_a", "id_b") }
     // final bucket sizes are only needed for buckets that HOLD a
     // witness: prune the band scan to those buckets' directories

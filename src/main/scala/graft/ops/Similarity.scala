@@ -451,8 +451,10 @@ object Similarity {
     // `dims` drives the mean-reconstruction sequence; if it mismatches
     // the actual embedding width, Spark's zip-based dot truncates while
     // the DuckDB oracle NULL-pads — a silent divergence. Fail fast on
-    // the first row instead (empty corpus: nothing to check).
-    corpus.select(size(col(vecCol)).as("_d")).limit(1).collect()
+    // one NON-NULL row (size() of a null array is -1, which must not
+    // abort training; empty/all-null corpus: nothing to check).
+    corpus.select(size(col(vecCol)).as("_d")).filter(col("_d") >= 0)
+      .limit(1).collect()
       .foreach(r => require(r.getInt(0) == dims,
         s"dims=$dims but $vecCol has ${r.getInt(0)} components"))
     val vecs = corpus.select(col(idCol).as("_vid"),

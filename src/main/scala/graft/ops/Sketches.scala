@@ -19,13 +19,27 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** The single source of truth for each ladder's finest-level
+    * aggregate — shared by the per-ladder fromRaw methods AND the
+    * combined [[allFromRaw]] pass, so the incrementally maintained
+    * tiers can never silently diverge from the direct computation the
+    * specs compare them against.
+    */
+  private def hllAgg(keyCol: String): Column =
+    hll_sketch_agg(col(keyCol)).as("key_hll")
+  private def kllAgg(valueCol: String): Column =
+    expr(s"kll_sketch_agg_bigint($valueCol)").as("val_kll")
+  private def histAggs(valueCol: String, bands: Int): Seq[Column] = {
+    val b = histBand(col(valueCol), bands)
+    (0 until bands).map(i => sum(when(b === i, 1L).otherwise(0L)).as(s"h$i"))
+  }
+
   /** Finest tier with an HLL sketch of distinct `keyCol` per bucket. */
   def fromRaw(pages: DataFrame, tier: TierSpec, keyCol: String = "url",
               seriesCols: Seq[String] = Seq("domain")): DataFrame =
     pages
       .groupBy(seriesCols.map(col) :+ Rollup.bucket(col("warc_epoch"), tier): _*)
-      .agg(hll_sketch_agg(col(keyCol)).as("key_hll"),
-           count(lit(1)).as("n"))
+      .agg(hllAgg(keyCol), count(lit(1)).as("n"))
 
   /** Coarser tier: register-wise union of the finer tier's sketches. */
   def cascade(finer: DataFrame, tier: TierSpec,
@@ -55,8 +69,7 @@ object Sketches {
                    seriesCols: Seq[String] = Seq("domain")): DataFrame =
     pages
       .groupBy(seriesCols.map(col) :+ Rollup.bucket(col("warc_epoch"), tier): _*)
-      .agg(expr(s"kll_sketch_agg_bigint($valueCol)").as("val_kll"),
-           count(lit(1)).as("n"))
+      .agg(kllAgg(valueCol), count(lit(1)).as("n"))
 
   /** Coarser tier: merge of the finer tier's KLL sketches. */
   def quantCascade(finer: DataFrame, tier: TierSpec,
@@ -102,9 +115,7 @@ object Sketches {
   def histFromRaw(pages: DataFrame, tier: TierSpec, valueCol: String,
                   bands: Int, seriesCols: Seq[String] = Seq("domain"))
       : DataFrame = {
-    val b = histBand(col(valueCol), bands)
-    val aggs = (0 until bands).map(i =>
-      sum(when(b === i, 1L).otherwise(0L)).as(s"h$i"))
+    val aggs = histAggs(valueCol, bands)
     pages
       .groupBy(seriesCols.map(col) :+ Rollup.bucket(col("warc_epoch"), tier): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -120,12 +131,8 @@ object Sketches {
   def allFromRaw(pages: DataFrame, tier: TierSpec, valueCol: String,
                  bands: Int, keyCol: String = "url",
                  seriesCols: Seq[String] = Seq("domain")): DataFrame = {
-    val b = histBand(col(valueCol), bands)
-    val aggs = (0 until bands).map(i =>
-      sum(when(b === i, 1L).otherwise(0L)).as(s"h$i")) ++ Seq(
-      hll_sketch_agg(col(keyCol)).as("key_hll"),
-      expr(s"kll_sketch_agg_bigint($valueCol)").as("val_kll"),
-      count(lit(1)).as("n"))
+    val aggs = histAggs(valueCol, bands) ++
+      Seq(hllAgg(keyCol), kllAgg(valueCol), count(lit(1)).as("n"))
     pages
       .groupBy(seriesCols.map(col) :+ Rollup.bucket(col("warc_epoch"), tier): _*)
       .agg(aggs.head, aggs.tail: _*)

@@ -103,6 +103,9 @@ final class TierRunner(spark: SparkSession, root: String,
   def run(runId: String, touchedDays: Set[String],
           rulesetVersion: String =
             graft.core.CurationRuleset.Default.version): RunManifest = {
+    // the recorded version must RESOLVE — a typo'd version written into
+    // the checkpoint would defeat the reproduce/audit contract
+    graft.core.CurationRuleset(rulesetVersion)
     val ckptPath = Paths.get(s"$root/checkpoints/run-$runId.json")
     Files.createDirectories(ckptPath.getParent)
     val previous: Map[String, String] =
@@ -374,7 +377,7 @@ final class TierRunner(spark: SparkSession, root: String,
   /** Z-order file maintenance for the raw day table — the north rule's
     * "url-hash bucketing + warc_ts range partitioning" reflected in
     * FILE layout, not just directory layout: each touched day's files
-    * are rewritten as contiguous runs of z(url_bucket, minute-of-day),
+    * are rewritten as contiguous runs of z(url_bucket, hour-of-day),
     * so a scan filtered on a url bucket OR a sub-day time range prunes
     * most files by parquet column stats (the Iceberg
     * rewrite-data-files(zorder) maintenance step, run after ingest

@@ -58,21 +58,43 @@ final class TierTable(val root: String, spark: SparkSession) {
 
   def currentManifest: Option[Manifest] = currentSnapshotId.map(manifest)
 
-  /** Next snapshot id: past EVERY existing manifest, not just the
-    * current one — after [[rollbackTo]], parent+1 would collide with an
-    * abandoned (but still readable) snapshot's manifest.
+  /** Next snapshot id, atomically RESERVED before any data is written:
+    * past EVERY existing manifest (after [[rollbackTo]], parent+1 would
+    * collide with an abandoned but readable snapshot) AND every live
+    * reservation, claimed by atomically creating
+    * `manifests/.reserve-<id>` — two writers can never obtain the same
+    * id, so a commit's `data/snap=<id>` directory is exclusively its
+    * own from the first byte written (without the reservation, two
+    * concurrent commits could compute the same id and the second data
+    * write would clobber the first BEFORE any publish-time guard
+    * fires). A reservation whose writer crashed pre-publish is
+    * harmless: ids only ever advance past it. [[publish]] removes the
+    * reservation once the manifest exists.
     */
-  private def nextSnapshotId: Long = {
+  private def reserveSnapshotId(): Long = {
     import scala.jdk.CollectionConverters._
     import scala.util.Using
-    val ids = Using.resource(Files.list(manifests)) { stream =>
-      stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("manifest-") =>
-          s.stripPrefix("manifest-").stripSuffix(".json").toLong }
-        .toSeq
+    while (true) {
+      val ids = Using.resource(Files.list(manifests)) { stream =>
+        stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect {
+            case s if s.startsWith("manifest-") =>
+              s.stripPrefix("manifest-").stripSuffix(".json").toLong
+            case s if s.startsWith(".reserve-") =>
+              s.stripPrefix(".reserve-").toLong
+          }
+          .toSeq
+      }
+      val id = if (ids.isEmpty) 0L else ids.max + 1L
+      try {
+        Files.createFile(manifests.resolve(s".reserve-$id"))
+        return id
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // raced — rescan
+      }
     }
-    if (ids.isEmpty) 0L else ids.max + 1L
+    throw new IllegalStateException("unreachable")
   }
 
   /** Commit a new snapshot overwriting the given partitions.
@@ -121,7 +143,17 @@ final class TierTable(val root: String, spark: SparkSession) {
       require(effBucket.contains(pb),
         s"bucket column is fixed at table creation: parent has $pb, got $bucketCol")
     }
-    val snap = nextSnapshotId
+    // Nor can a bucket level be ADDED once unbucketed data exists:
+    // carried-forward partitions would keep their flat layout and the
+    // multi-path read would mix directory depths. Only a table with no
+    // data partitions may adopt a bucket spec.
+    if (bucketCol.isDefined && parent.exists(p =>
+          p.bucketCol.isEmpty && p.partitions.values.exists(_.path.nonEmpty)))
+      throw new IllegalStateException(
+        s"cannot add bucket level '${bucketCol.get}' to $root: the table " +
+          "already holds unbucketed data partitions — rebuild it into a " +
+          "fresh bucketed table instead")
+    val snap = reserveSnapshotId()
     val stamp = System.currentTimeMillis()
 
     val dataDir = rootPath.resolve(s"data/snap=$snap").toString
@@ -190,6 +222,9 @@ final class TierTable(val root: String, spark: SparkSession) {
     val tmp = manifests.resolve(s".manifest-${m.snapshot}.json.tmp")
     Files.writeString(tmp, m.toJson)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    // the manifest now protects the id; the reservation can go (even if
+    // the CAS below fails, the id is never reused)
+    Files.deleteIfExists(manifests.resolve(s".reserve-${m.snapshot}"))
     beforeCurrentMove()
     val now = currentSnapshotId
     if (now != expectedParent)
@@ -208,7 +243,7 @@ final class TierTable(val root: String, spark: SparkSession) {
     */
   def read(): DataFrame = {
     val m = currentManifest.getOrElse(
-      throw new IllegalStateException(s"no snapshot at $root"))
+      throw new NoSnapshotDataException(s"no snapshot at $root"))
     readManifest(m, None)
   }
 
@@ -219,7 +254,7 @@ final class TierTable(val root: String, spark: SparkSession) {
     */
   def read(partitions: Set[String]): DataFrame = {
     val m = currentManifest.getOrElse(
-      throw new IllegalStateException(s"no snapshot at $root"))
+      throw new NoSnapshotDataException(s"no snapshot at $root"))
     readManifest(m, Some(partitions))
   }
 
@@ -255,7 +290,7 @@ final class TierTable(val root: String, spark: SparkSession) {
             .parquet(s"$root/${p.path}"))
             .filter(lit(false))
         case _ =>
-          throw new IllegalStateException(
+          throw new NoSnapshotDataException(
             s"no data partitions in snapshot ${m.snapshot} at $root" +
               only.map(o => s" (requested: ${o.toSeq.sorted.mkString(",")})")
                 .getOrElse(""))
@@ -285,7 +320,7 @@ final class TierTable(val root: String, spark: SparkSession) {
       throw new IllegalStateException(s"no snapshot at $root"))
     val (kept, dropped) = parent.partitions.partition { case (k, _) => keep(k) }
     if (dropped.isEmpty) return Set.empty
-    val snap = nextSnapshotId
+    val snap = reserveSnapshotId()
     val m = Manifest(snap, Some(parent.snapshot), System.currentTimeMillis(),
                      parent.partitionCol, kept, parent.bucketCol)
     publish(m, Some(parent.snapshot))
@@ -464,6 +499,19 @@ final class TierTable(val root: String, spark: SparkSession) {
     }
   }
 }
+
+/** Raised when a read finds legitimately NO data: the table has no
+  * snapshot yet, or nothing in the snapshot (or the selected subset)
+  * carries rows and there is no schema source. Deliberately distinct
+  * from the plain IllegalStateExceptions that signal CORRUPTION
+  * (unversioned/unsupported manifest formats): callers that want to
+  * treat an empty table as an empty result (e.g.
+  * [[graft.ops.IncrementalDedup.pairs]]) catch THIS type only, so a
+  * corrupt manifest still fails loudly instead of reading as "no
+  * duplicates".
+  */
+final class NoSnapshotDataException(msg: String)
+  extends IllegalStateException(msg)
 
 /** Per-partition lineage recorded in the manifest (north rule: input
   * snapshot id, bucket id, row counts, checksums + status).

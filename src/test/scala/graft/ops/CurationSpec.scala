@@ -277,6 +277,42 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
            batch.exceptAll(d2.pairs()).isEmpty)
   }
 
+  test("dedup knobs are pinned on disk: reopening with different config fails fast") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-cfg").toString
+    val d = new IncrementalDedup(spark, root, hashBuckets = 8)
+    d.ingest(docs.filter(col("doc_id") < 50L), "doc_id", "text")
+    // identical knobs reopen fine and still work
+    assert(new IncrementalDedup(spark, root, hashBuckets = 8)
+      .corpusBands().count() > 0)
+    // a different bucket modulus (stored band_bucket values would
+    // mismatch) or signature shape (incomparable hashes) fails fast
+    // instead of silently losing pairs
+    intercept[IllegalArgumentException] {
+      new IncrementalDedup(spark, root, hashBuckets = 16)
+    }
+    intercept[IllegalArgumentException] {
+      new IncrementalDedup(spark, root, numHashes = 8, hashBuckets = 8)
+    }
+  }
+
+  test("corrupt pair-table manifest fails pairs() loudly, never as 'no duplicates'") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-incdedup-corrupt").toString
+    val d = new IncrementalDedup(spark, root)
+    d.ingest(docs.filter(col("doc_id") < 100L), "doc_id", "text")
+    // bump the pair manifest to an unsupported future format — the
+    // legitimately-empty fallback must NOT swallow this
+    val cur = Files.readString(Paths.get(s"$root/pairs/CURRENT")).trim
+    val mf = Paths.get(s"$root/pairs/manifests/manifest-$cur.json")
+    Files.writeString(mf, Files.readString(mf)
+      .replaceFirst("\"format\":\\d+", "\"format\":99"))
+    val e = intercept[IllegalStateException] {
+      new IncrementalDedup(spark, root).pairs()
+    }
+    assert(e.getMessage.contains("format"), e.getMessage)
+  }
+
   test("retention + compaction: pairs() equals the batch run over the surviving corpus") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-incdedup-expire").toString

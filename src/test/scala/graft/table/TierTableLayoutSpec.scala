@@ -71,6 +71,23 @@ class TierTableLayoutSpec extends AnyFunSuite with SparkSuite {
     assert(zy <= zn * 3 / 4, s"z layout pruned too little on y: $zy of $zn")
   }
 
+  test("bucket level cannot be added once unbucketed data exists") {
+    val t = new TierTable(tmpRoot("bucketadd"), spark).init()
+    t.commitOverwrite(grid(), "day_epoch")
+    val withB = grid().withColumn("b", pmod(col("v"), lit(4L)))
+    // adding a bucket level would mix Hive directory depths across
+    // carried-forward partitions — refused
+    intercept[IllegalStateException] {
+      t.commitOverwrite(withB, "day_epoch", bucketCol = Some("b"))
+    }
+    // a FRESH table adopts the spec fine, records it, and reads typed
+    val t2 = new TierTable(tmpRoot("bucketnew"), spark).init()
+    t2.commitOverwrite(withB, "day_epoch", bucketCol = Some("b"))
+    assert(t2.currentManifest.get.bucketCol.contains("b"))
+    assert(t2.read().schema("b").dataType ==
+           org.apache.spark.sql.types.LongType)
+  }
+
   test("concurrent commit: CURRENT move is CAS-guarded, loser fails loudly and can retry") {
     import spark.implicits._
     val root = tmpRoot("cas")
