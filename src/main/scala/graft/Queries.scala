@@ -1671,6 +1671,37 @@ object Queries {
            |       TRUE AS within_5pct
            |FROM webpages GROUP BY 1, 2""".stripMargin)),
 
+    // The histogram ladder's 30d level through the SAME lifecycle: the
+    // coarsest continuous aggregate is rebuilt by per-band SUM of
+    // exactly the member 1d partitions of touched 30d buckets (the
+    // value cascade's 30d branch, applied to sketches) — still exact,
+    // still value-for-value against the direct full-data oracle.
+    "tier_hist_incremental_30d" -> QueryDef(
+      run = (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-tierhist30").toString
+        val runner = new graft.run.TierRunner(s, root)
+        val p = pages(s, dir)
+        val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+        runner.run("h1", runner.ingest(p.filter(col("warc_ts") < cut)))
+        runner.run("h2", runner.ingest(p.filter(col("warc_ts") >= cut)))
+        runner.histTier(TierSpec.T30d)
+          .select(Seq(col("domain"), col("bucket_epoch")) ++
+            (0 until 8).map(i => col(s"h$i")): _*)
+      },
+      oracle = Some {
+        val band = Sketches.histBandSql(
+          "CAST(floor(value * 1000000) AS BIGINT)", 8)
+        val hcols = (0 until 8).map(i =>
+          s"CAST(sum(CASE WHEN $band = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i")
+          .mkString(",\n       ")
+        s"""${WebPages.oracleCte}
+           |SELECT domain,
+           |       warc_epoch - (warc_epoch % ${TierSpec.T30d.seconds}) AS bucket_epoch,
+           |       $hcols
+           |FROM webpages GROUP BY 1, 2""".stripMargin
+      }),
+
     // Third sketch ladder through the runner lifecycle: KLL quantile
     // sketches, 1h from touched raw days, 1d by sketch-MERGE — the
     // incrementally maintained p50/p95 must satisfy the same rank-band

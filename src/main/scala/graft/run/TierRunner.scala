@@ -53,6 +53,9 @@ final class TierRunner(spark: SparkSession, root: String,
   private val hllTable1d = new TierTable(s"$root/hll_1d", spark).init()
   private val kllTable1h = new TierTable(s"$root/kll_1h", spark).init()
   private val kllTable1d = new TierTable(s"$root/kll_1d", spark).init()
+  private val histTable30d = new TierTable(s"$root/hist_30d", spark).init()
+  private val hllTable30d = new TierTable(s"$root/hll_30d", spark).init()
+  private val kllTable30d = new TierTable(s"$root/kll_30d", spark).init()
   private val HistBands = 8
 
   /** Append a raw increment (new web pages) as a new raw snapshot,
@@ -215,10 +218,12 @@ final class TierRunner(spark: SparkSession, root: String,
     // copy-on-write commit, per-partition lineage + metrics — identical
     // semantics to the cascade loop above.
     def runStage(key: String, upstream: Option[String],
-                 table: TierTable)(compute: Set[String] => DataFrame): Unit = {
-      val already = touchedDays.filter(p =>
+                 table: TierTable,
+                 partitions: Set[String] = touchedDays)
+                (compute: Set[String] => DataFrame): Unit = {
+      val already = partitions.filter(p =>
         previous.get(s"$key/$p").contains("ok"))
-      val todo = touchedDays -- already
+      val todo = partitions -- already
       // resumed partitions must be re-recorded: the checkpoint is
       // rewritten whole, and dropping them would make the NEXT resume
       // rebuild every partition of this stage
@@ -313,6 +318,30 @@ final class TierRunner(spark: SparkSession, root: String,
       Sketches.quantCascade(kllTable1h.read(todo), TierSpec.T1d)
         .withColumn("day_epoch", col("bucket_epoch"))
     }
+    // 30d sketch levels mirror the value cascade's 30d branch: whole
+    // 30d buckets are rebuilt by MERGING exactly the 1d partitions that
+    // are members of a touched bucket (register union / per-band sum /
+    // KLL merge — still never a raw re-scan).
+    val touched30d: Set[String] = touchedDays.map(d =>
+      (d.toLong - (d.toLong % TierSpec.T30d.seconds)).toString)
+    def members(tbl: TierTable, todo: Set[String]): Set[String] =
+      tbl.partitionKeys.filter(d => todo.contains(
+        (d.toLong - (d.toLong % TierSpec.T30d.seconds)).toString))
+    runStage("hist_30d", Some("hist_1d"), histTable30d, touched30d) { todo =>
+      Sketches.histCascade(histTable1d.read(members(histTable1d, todo)),
+                           TierSpec.T30d, HistBands)
+        .withColumn("day_epoch", col("bucket_epoch"))
+    }
+    runStage("hll_30d", Some("hll_1d"), hllTable30d, touched30d) { todo =>
+      Sketches.cascade(hllTable1d.read(members(hllTable1d, todo)),
+                       TierSpec.T30d)
+        .withColumn("day_epoch", col("bucket_epoch"))
+    }
+    runStage("kll_30d", Some("kll_1d"), kllTable30d, touched30d) { todo =>
+      Sketches.quantCascade(kllTable1d.read(members(kllTable1d, todo)),
+                            TierSpec.T30d)
+        .withColumn("day_epoch", col("bucket_epoch"))
+    }
 
     val manifest = RunManifest(runId, inputSnapshot, entries.result(),
                                rulesetVersion)
@@ -358,7 +387,10 @@ final class TierRunner(spark: SparkSession, root: String,
         "hll_1h" -> dropOld(hllTable1h, d, keepSnapshots),
         "hll_1d" -> dropOld(hllTable1d, d, keepSnapshots),
         "kll_1h" -> dropOld(kllTable1h, d, keepSnapshots),
-        "kll_1d" -> dropOld(kllTable1d, d, keepSnapshots)))
+        "kll_1d" -> dropOld(kllTable1d, d, keepSnapshots),
+        "hist_30d" -> dropOld(histTable30d, d, keepSnapshots),
+        "hll_30d" -> dropOld(hllTable30d, d, keepSnapshots),
+        "kll_30d" -> dropOld(kllTable30d, d, keepSnapshots)))
     tiers ++ extra
   }
 
@@ -402,26 +434,29 @@ final class TierRunner(spark: SparkSession, root: String,
   /** Read a tier's current snapshot. */
   def tier(t: TierSpec): DataFrame = tableFor(t).read()
 
-  /** Read the exact histogram sketch tier (1h or 1d bands ladder). */
+  /** Read the exact histogram sketch tier (1h/1d/30d bands ladder). */
   def histTier(t: TierSpec): DataFrame = t match {
     case TierSpec.T1h => histTable1h.read()
     case TierSpec.T1d => histTable1d.read()
+    case TierSpec.T30d => histTable30d.read()
     case other => throw new IllegalArgumentException(
       s"no histogram tier at ${other.name}")
   }
 
-  /** Read the HLL distinct-url sketch tier (1h or 1d ladder). */
+  /** Read the HLL distinct-url sketch tier (1h/1d/30d ladder). */
   def hllTier(t: TierSpec): DataFrame = t match {
     case TierSpec.T1h => hllTable1h.read()
     case TierSpec.T1d => hllTable1d.read()
+    case TierSpec.T30d => hllTable30d.read()
     case other => throw new IllegalArgumentException(
       s"no HLL tier at ${other.name}")
   }
 
-  /** Read the KLL quantile sketch tier (1h or 1d ladder). */
+  /** Read the KLL quantile sketch tier (1h/1d/30d ladder). */
   def kllTier(t: TierSpec): DataFrame = t match {
     case TierSpec.T1h => kllTable1h.read()
     case TierSpec.T1d => kllTable1d.read()
+    case TierSpec.T30d => kllTable30d.read()
     case other => throw new IllegalArgumentException(
       s"no KLL tier at ${other.name}")
   }

@@ -103,6 +103,15 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
       assert(ents.map(_.partition).toSet == touched, s"$key recompute set")
       assert(ents.forall(_.status == "ok"), s"$key statuses")
     }
+    // the 30d sketch levels recompute whole touched 30d buckets, like
+    // the value cascade's 30d branch
+    val t30 = touched.map(d =>
+      (d.toLong - (d.toLong % TierSpec.T30d.seconds)).toString)
+    for (key <- Seq("hist_30d", "hll_30d", "kll_30d")) {
+      val ents = m2.entries.filter(_.tier == key)
+      assert(ents.map(_.partition).toSet == t30, s"$key recompute set")
+      assert(ents.forall(_.status == "ok"), s"$key statuses")
+    }
     // untouched day partitions carried forward byte-identically (same
     // path, same checksum — no rewrite, I2 copy-on-write)
     val histAfter = new graft.table.TierTable(s"$root/hist_1d", spark)
