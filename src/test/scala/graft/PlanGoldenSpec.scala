@@ -26,7 +26,8 @@ class PlanGoldenSpec extends AnyFunSuite with SparkSuite {
     "ts_gapfill_1h",  // one window + one generator, broadcast bounds
     "dedup_minhash",  // signature pipeline under ONE reused exchange
     "asof_join",      // bucketed two-phase window split
-    "ann_lsh_topk")   // broadcast bucket join + WindowGroupLimit
+    "ann_lsh_topk",   // broadcast bucket join + WindowGroupLimit
+    "corpus_filter_rulesets") // TWO ruleset versions, ONE scan + window
 
   private val goldenDir = Paths.get("src/test/resources/golden-plans")
 
