@@ -94,21 +94,29 @@ final class IncrementalDedup(spark: SparkSession, root: String,
   // NOT pinned: it is a query-time mask, re-applied from current state
   // by pairs()).
   locally {
-    import java.nio.file.{Files => F, Paths, StandardCopyOption}
+    import java.nio.file.{Files => F, Paths}
     val cfgPath = Paths.get(s"$root/DEDUP_CONFIG")
     val cfg = "{\"num_hashes\":" + numHashes + ",\"bands\":" + bands +
       ",\"shingle_k\":" + shingleK + ",\"hash_buckets\":" + hashBuckets + "}"
-    if (F.exists(cfgPath)) {
-      val stored = F.readString(cfgPath).trim
-      require(stored == cfg,
-        s"dedup table at $root was created with $stored; " +
-          s"reopening with $cfg would silently lose pairs")
-    } else {
-      val tmp = Paths.get(s"$root/.DEDUP_CONFIG.tmp")
-      F.writeString(tmp, cfg)
-      F.move(tmp, cfgPath, StandardCopyOption.ATOMIC_MOVE,
-             StandardCopyOption.REPLACE_EXISTING)
+    if (!F.exists(cfgPath)) {
+      // atomic claim (createFile fails if a concurrent first
+      // construction won — rename-based moves silently REPLACE on
+      // Linux, so they cannot arbitrate); the loser falls through to
+      // the validation below and must match the winner's knobs.
+      // Migration note: a pre-config table pins the knobs of its first
+      // post-upgrade open — the caller must pass the original values.
+      try { F.createFile(cfgPath); F.writeString(cfgPath, cfg) }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
+    // the winner may be mid-write for an instant; wait for content
+    var stored = F.readString(cfgPath).trim
+    var spins = 0
+    while (stored.isEmpty && spins < 100) {
+      Thread.sleep(10); stored = F.readString(cfgPath).trim; spins += 1
+    }
+    require(stored == cfg,
+      s"dedup table at $root was created with $stored; " +
+        s"reopening with $cfg would silently lose pairs")
   }
 
   /** Physical clustering key of the band table: a stable hash of the

@@ -39,6 +39,20 @@ final class TierRunner(spark: SparkSession, root: String,
   private def tableFor(tier: TierSpec): TierTable =
     new TierTable(s"$root/tier_${tier.name}", spark).init()
 
+  /** Start of the width-aligned bucket containing a day partition key —
+    * the ONE definition of coarse-bucket membership shared by the value
+    * cascade's 30d branch and the sketch ladders' 30d levels (a
+    * divergence here would silently desynchronize them).
+    */
+  private def bucketStart(day: String, widthSeconds: Long): String =
+    (day.toLong - (day.toLong % widthSeconds)).toString
+
+  /** Day partitions of `tbl` that are members of the given width-aligned
+    * buckets. */
+  private def memberDays(tbl: TierTable, buckets: Set[String],
+                         widthSeconds: Long): Set[String] =
+    tbl.partitionKeys.filter(d => buckets.contains(bucketStart(d, widthSeconds)))
+
   private val rawTable = new TierTable(s"$root/tier_raw", spark).init()
   private val blocksTable = new TierTable(s"$root/blocks_5m", spark).init()
   // continuous-aggregate sketch tiers, maintained through the SAME
@@ -142,11 +156,7 @@ final class TierRunner(spark: SparkSession, root: String,
       }
       val partitions: Set[String] =
         if (tier.seconds <= TierSpec.T1d.seconds) touchedDays
-        else {
-          // 30d buckets containing any touched day
-          touchedDays.map(d =>
-            (d.toLong - (d.toLong % tier.seconds)).toString)
-        }
+        else touchedDays.map(bucketStart(_, tier.seconds)) // containing 30d buckets
       val already = partitions.filter(p => previous.get(s"$key/$p").contains("ok"))
       val todo = partitions -- already
       val t0 = System.nanoTime()
@@ -179,10 +189,8 @@ final class TierRunner(spark: SparkSession, root: String,
             else {
               // 30d: rebuild whole 30d buckets — read exactly the 1d
               // day partitions that are members of a touched bucket
-              val memberDays = tableFor(TierSpec.T1d).partitionKeys
-                .filter(d => todo.contains(
-                  (d.toLong - (d.toLong % tier.seconds)).toString))
-              Rollup.cascadeFlagged(tableFor(TierSpec.T1d).read(memberDays), tier)
+              val members = memberDays(tableFor(TierSpec.T1d), todo, tier.seconds)
+              Rollup.cascadeFlagged(tableFor(TierSpec.T1d).read(members), tier)
             }
           val withPart = source.withColumn("day_epoch",
             if (tier.seconds <= TierSpec.T1d.seconds)
@@ -322,23 +330,22 @@ final class TierRunner(spark: SparkSession, root: String,
     // 30d buckets are rebuilt by MERGING exactly the 1d partitions that
     // are members of a touched bucket (register union / per-band sum /
     // KLL merge — still never a raw re-scan).
-    val touched30d: Set[String] = touchedDays.map(d =>
-      (d.toLong - (d.toLong % TierSpec.T30d.seconds)).toString)
-    def members(tbl: TierTable, todo: Set[String]): Set[String] =
-      tbl.partitionKeys.filter(d => todo.contains(
-        (d.toLong - (d.toLong % TierSpec.T30d.seconds)).toString))
+    val touched30d: Set[String] =
+      touchedDays.map(bucketStart(_, TierSpec.T30d.seconds))
+    def members30(tbl: TierTable, todo: Set[String]): Set[String] =
+      memberDays(tbl, todo, TierSpec.T30d.seconds)
     runStage("hist_30d", Some("hist_1d"), histTable30d, touched30d) { todo =>
-      Sketches.histCascade(histTable1d.read(members(histTable1d, todo)),
+      Sketches.histCascade(histTable1d.read(members30(histTable1d, todo)),
                            TierSpec.T30d, HistBands)
         .withColumn("day_epoch", col("bucket_epoch"))
     }
     runStage("hll_30d", Some("hll_1d"), hllTable30d, touched30d) { todo =>
-      Sketches.cascade(hllTable1d.read(members(hllTable1d, todo)),
+      Sketches.cascade(hllTable1d.read(members30(hllTable1d, todo)),
                        TierSpec.T30d)
         .withColumn("day_epoch", col("bucket_epoch"))
     }
     runStage("kll_30d", Some("kll_1d"), kllTable30d, touched30d) { todo =>
-      Sketches.quantCascade(kllTable1d.read(members(kllTable1d, todo)),
+      Sketches.quantCascade(kllTable1d.read(members30(kllTable1d, todo)),
                             TierSpec.T30d)
         .withColumn("day_epoch", col("bucket_epoch"))
     }
@@ -370,7 +377,8 @@ final class TierRunner(spark: SparkSession, root: String,
                      keepSnapshots: Int = 2,
                      keepBlockDays: Option[Int] = None,
                      keepRawDays: Option[Int] = None,
-                     keepSketchDays: Option[Int] = None): Map[String, Set[String]] = {
+                     keepSketchDays: Option[Int] = None,
+                     keepSketch30dDays: Option[Int] = None): Map[String, Set[String]] = {
     val tiers = keepDays.map { case (t, days) =>
       t.name -> dropOld(tableFor(t), days, keepSnapshots)
     }
@@ -387,7 +395,12 @@ final class TierRunner(spark: SparkSession, root: String,
         "hll_1h" -> dropOld(hllTable1h, d, keepSnapshots),
         "hll_1d" -> dropOld(hllTable1d, d, keepSnapshots),
         "kll_1h" -> dropOld(kllTable1h, d, keepSnapshots),
-        "kll_1d" -> dropOld(kllTable1d, d, keepSnapshots),
+        "kll_1d" -> dropOld(kllTable1d, d, keepSnapshots))) ++
+      // the COARSEST sketch level outlives the finer ones (the whole
+      // point of the ladder) — it ages out only under its own knob,
+      // never under the day-scale keepSketchDays, which would drop
+      // every 30d bucket but the newest
+      keepSketch30dDays.toSeq.flatMap(d => Seq(
         "hist_30d" -> dropOld(histTable30d, d, keepSnapshots),
         "hll_30d" -> dropOld(hllTable30d, d, keepSnapshots),
         "kll_30d" -> dropOld(kllTable30d, d, keepSnapshots)))

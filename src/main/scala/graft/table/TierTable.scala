@@ -81,7 +81,9 @@ final class TierTable(val root: String, spark: SparkSession) {
           .collect {
             case s if s.startsWith("manifest-") =>
               s.stripPrefix("manifest-").stripSuffix(".json").toLong
-            case s if s.startsWith(".reserve-") =>
+            case s if s.startsWith(".reserve-") &&
+                      s.stripPrefix(".reserve-").forall(_.isDigit) &&
+                      s.length > ".reserve-".length =>
               s.stripPrefix(".reserve-").toLong
           }
           .toSeq
@@ -155,6 +157,7 @@ final class TierTable(val root: String, spark: SparkSession) {
           "fresh bucketed table instead")
     val snap = reserveSnapshotId()
     val stamp = System.currentTimeMillis()
+    releaseOnFailure(snap) {
 
     val dataDir = rootPath.resolve(s"data/snap=$snap").toString
     val cached = df.persist()
@@ -189,7 +192,25 @@ final class TierTable(val root: String, spark: SparkSession) {
     val m = Manifest(snap, parent.map(_.snapshot), stamp, partitionCol,
                      carried ++ fresh, effBucket)
     publish(m, parent.map(_.snapshot))
+
+    }
   }
+
+  /** Run a commit tail, releasing the snapshot-id reservation if it
+    * dies BEFORE its manifest exists (a failed write/commit must not
+    * leak a .reserve file per retry; once the manifest is on disk the
+    * id is protected by it and [[publish]] removed the reservation).
+    * Reusing a released id is safe: its partial data/snap dir, if any,
+    * is fully overwritten by the next writer.
+    */
+  private def releaseOnFailure(snap: Long)(body: => Manifest): Manifest =
+    try body
+    catch {
+      case t: Throwable =>
+        if (!Files.exists(manifests.resolve(s"manifest-$snap.json")))
+          Files.deleteIfExists(manifests.resolve(s".reserve-$snap"))
+        throw t
+    }
 
   /** Test hook: runs immediately before [[publish]]'s CAS check, so a
     * spec can interleave a competing commit deterministically. No-op in
@@ -323,7 +344,7 @@ final class TierTable(val root: String, spark: SparkSession) {
     val snap = reserveSnapshotId()
     val m = Manifest(snap, Some(parent.snapshot), System.currentTimeMillis(),
                      parent.partitionCol, kept, parent.bucketCol)
-    publish(m, Some(parent.snapshot))
+    releaseOnFailure(snap)(publish(m, Some(parent.snapshot)))
     dropped.keySet
   }
 

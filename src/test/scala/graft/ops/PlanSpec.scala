@@ -185,11 +185,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       val scans = "FileScan parquet".r.findAllIn(p).size
       assert(scans == 1, s"$name: $scans corpus scans\n${p.take(600)}")
     }
-    val pf = plan(qs("corpus_filter_rulesets").run(spark, sfDir))
+    val df = qs("corpus_filter_rulesets").run(spark, sfDir)
+    val pf = plan(df)
     assert("Exchange hashpartitioning".r.findAllIn(pf).size == 1, pf.take(800))
     // the window exchange carries fingerprint + per-version structs,
-    // never the text payload
-    assert(!pf.contains("text#") ||
-           !"Exchange[^\\n]*text#".r.findFirstIn(pf).isDefined, pf.take(800))
+    // never the text payload — checked on the shuffle's OUTPUT SCHEMA
+    // (a plan-string grep only sees the partitioning expressions)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty)
+    assert(shuffles.forall(e => !e.output.exists(_.name == "text")),
+      shuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
   }
 }

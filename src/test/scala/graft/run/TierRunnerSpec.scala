@@ -141,6 +141,25 @@ class TierRunnerSpec extends AnyFunSuite with SparkSuite {
     assert(bad == 0, s"$bad (domain, day) estimates off by >5%")
   }
 
+  test("sketch retention: the day-scale knob never touches 30d buckets") {
+    val root = tmpRoot()
+    val runner = new TierRunner(spark, root)
+    runner.run("r1", runner.ingest(WebPages.load(spark, sfDir)))
+    val hist30 = new graft.table.TierTable(s"$root/hist_30d", spark)
+    val before = hist30.partitionKeys
+    assert(before.nonEmpty)
+    // an aggressive day-scale horizon trims the 1h/1d ladders but MUST
+    // NOT reach the coarsest level (every 30d bucket but the newest
+    // would be >= 30 days old and silently destroyed)
+    val dropped = runner.applyRetention(Map.empty, keepSketchDays = Some(1))
+    assert(dropped.keySet.intersect(Set("hist_30d", "hll_30d", "kll_30d")).isEmpty)
+    assert(dropped("hist_1d").nonEmpty) // the fine ladder did age out
+    assert(hist30.partitionKeys == before, "30d sketch history was dropped")
+    // the 30d level ages out only under its own knob
+    val d30 = runner.applyRetention(Map.empty, keepSketch30dDays = Some(0))
+    assert(d30("hist_30d").size == before.size - 1) // keeps newest bucket only
+  }
+
   test("resume skips partitions already committed ok") {
     val root = tmpRoot()
     val runner = new TierRunner(spark, root)
