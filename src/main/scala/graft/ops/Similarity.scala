@@ -329,42 +329,77 @@ object Similarity {
               vecCol: String, k: Int, nlist: Int = 16,
               nprobe: Int = 3): DataFrame =
     ivfQuery(corpus, queries, idCol, vecCol, k, nprobe,
-             ivfCentroids(corpus, idCol, vecCol, nlist))
+             collectCodebook(ivfCentroids(corpus, idCol, vecCol, nlist)))
 
-  /** The IVF probe path against an arbitrary codebook
-    * (cent_id, centv: array<double>, centn): assign corpus vectors to
-    * their nearest centroid, probe each query's `nprobe` nearest lists,
-    * exact rank within.
+  // ------------------------------------------------------------------
+  // In-row coarse quantization (the shuffle-free assignment kernel)
+  //
+  // The codebook is CONSTANT-SIZE (nlist rows — a knob, never corpus-
+  // proportional), so it is collected to the driver (same bounded-
+  // collect class as the hashBuckets value lists) and embedded as
+  // literal arrays. Nearest-centroid assignment and probe selection
+  // then become narrow per-row expressions: the round-5 plan cross-
+  // joined every vector against the broadcast codebook and ranked with
+  // a row_number window — an Exchange of |corpus|·nlist rows CARRYING
+  // THE FULL VECTORS plus two sorts, per assignment pass (guide §2.4:
+  // remove shuffles outright). At 100 TB that exchange was the entire
+  // cost of an assignment pass; in-row argmax makes it zero-shuffle
+  // scan work. Scores and tie-breaks reproduce the window ordering
+  // (cscore DESC, cent_id ASC) bit-for-bit: centroid norms constant-
+  // fold through the SAME sequential-fold DotProduct the per-row plan
+  // evaluated, and null scores order last like DESC NULLS LAST.
+  // ------------------------------------------------------------------
+
+  /** Driver-side codebook: (cent_id, centv), bounded by nlist. */
+  private def collectCodebook(cents: DataFrame): Seq[(Long, Array[Double])] =
+    cents.select(col("cent_id"), col("centv")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** In-row argmax over the codebook: the cent_id that row_number()
+    * ordered by (cscore DESC, cent_id ASC) would rank first — the
+    * codegen'd [[graft.functions.IvfNearest]] kernel (a built-in
+    * composition of 16 literal-array dots blew the whole-stage-codegen
+    * method past the JIT ceiling; see that class's doc).
+    */
+  private def nearestCent(vec: Column, nrm: Column,
+                          cents: Seq[(Long, Array[Double])]): Column =
+    element_at(graft.functions.IvfNearest.topCents(vec, nrm, cents, 1), 1)
+
+  /** In-row top-`nprobe` centroid ids in (cscore DESC, cent_id ASC)
+    * order — same kernel, k probes.
+    */
+  private def probeCents(vec: Column, nrm: Column,
+                         cents: Seq[(Long, Array[Double])],
+                         nprobe: Int): Column =
+    graft.functions.IvfNearest.topCents(vec, nrm, cents, nprobe)
+
+  /** The IVF probe path against a driver-side codebook
+    * (cent_id, centv): assign corpus vectors to their nearest centroid
+    * IN-ROW (no shuffle — see the kernel note above), probe each
+    * query's `nprobe` nearest lists, exact rank within. The only
+    * exchange left is the final rank window over candidate rows, and it
+    * carries (query_id, neighbor_id, score) — vectors are projected out
+    * before the exchange (guide §2.3).
     */
   private def ivfQuery(corpus: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, k: Int, nprobe: Int,
-                       cents: DataFrame): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+                       cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    def nearest(df: DataFrame, vec: String, nrm: String, idc: String,
-                keep: Int): DataFrame = {
-      val w = Window.partitionBy(idc)
-        .orderBy(col("cscore").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("cscore",
-          floor(dot(col(vec), col("centv")) / (col(nrm) * col("centn"))
-            * lit(1e9)).cast("long"))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= keep)
-    }
-    val assigned = nearest(c, "cv", "cn", "neighbor_id", 1)
-      .select("neighbor_id", "cv", "cn", "cent_id")
-    val q = queries.select(col(idCol).as("query_id"),
+      .withColumn("cent_id", nearestCent(col("cv"), col("cn"), cents))
+    val probes = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val probes = nearest(q, "qv", "qn", "query_id", nprobe)
+      .withColumn("cent_id",
+        explode(probeCents(col("qv"), col("qn"), cents, nprobe)))
       .select("query_id", "qv", "qn", "cent_id")
     val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score_nanos",
+      .select(col("query_id"), col("neighbor_id"),
         floor(dot(col("qv"), col("cv")) / (col("qn") * col("cn")) * lit(1e9))
-          .cast("long"))
+          .cast("long").as("score_nanos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_nanos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -448,58 +483,70 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nlist: Int, iters: Int, dims: Int): DataFrame = {
-    // `dims` drives the mean-reconstruction sequence; if it mismatches
-    // the actual embedding width, Spark's zip-based dot truncates while
-    // the DuckDB oracle NULL-pads — a silent divergence. Fail fast on
-    // one NON-NULL row (size() of a null array is -1, which must not
-    // abort training; empty/all-null corpus: nothing to check).
-    corpus.select(size(col(vecCol)).as("_d")).filter(col("_d") >= 0)
-      .limit(1).collect()
-      .foreach(r => require(r.getInt(0) == dims,
-        s"dims=$dims but $vecCol has ${r.getInt(0)} components"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    kmeansCodebook(corpus, idCol, vecCol, nlist, iters, dims)
+      .map { case (cid, cq) => (cid, cq.toSeq) }
+      .toDF("cent_id", "cq")
+  }
+
+  /** Driver-side Lloyd loop behind [[kmeansCentroids]]: the codebook is
+    * nlist·dims longs — constant-size state, so it lives on the driver
+    * and each iteration is ONE job: corpus scan → in-row nearest-cent
+    * argmax (zero-shuffle, see the quantization kernel note) →
+    * per-(cent, dim) partial-agg sum/count (the only exchange, ≤
+    * nlist·dims rows after map-side combine) → collect the ≤ nlist·dims
+    * means. The round-5 loop paid, PER ITERATION, a broadcast build of
+    * the cents subtree, an Exchange of |corpus|·nlist vector-carrying
+    * rows + two sorts for the assignment window, a second means
+    * exchange, a join, and an eager localCheckpoint job. The means
+    * stay Spark-computed (`s DIV cnt` collected, never re-derived in
+    * Scala), so the trained codebook is bit-identical to the round-5
+    * one and to the oracle's unrolled CTEs.
+    */
+  private[ops] def kmeansCodebook(corpus: DataFrame, idCol: String,
+                                  vecCol: String, nlist: Int, iters: Int,
+                                  dims: Int): Seq[(Long, Array[Long])] = {
+    // `dims` drives the mean reconstruction; a row of any other width
+    // would silently diverge from the DuckDB oracle (Spark's dot
+    // truncates, DuckDB NULL-pads). Validated for EVERY row riding the
+    // assignment pass (round-5 sampled one row via a separate probe
+    // job): assert_true returns null on pass, so the filter keeps all
+    // valid rows and aborts the job on the first mismatching one.
     val vecs = corpus.select(col(idCol).as("_vid"),
         transform(asDouble(col(vecCol)),
                   x => floor(x * lit(1e6)).cast("long")).as("vq"))
+      .filter(assert_true(col("vq").isNull || size(col("vq")) === dims,
+        concat(lit(s"dims=$dims but $vecCol has "), size(col("vq")),
+               lit(" components"))).isNull)
       .withColumn("vqd", col("vq").cast("array<double>"))
       .withColumn("nv", norm(col("vqd")))
-    var cents = ivfCentroids(corpus, idCol, vecCol, nlist)
-      .select(col("cent_id"),
-        transform(col("centv"), x => floor(x * lit(1e6)).cast("long")).as("cq"))
+    var cents: Seq[(Long, Array[Long])] =
+      ivfCentroids(corpus, idCol, vecCol, nlist)
+        .select(col("cent_id"),
+          transform(col("centv"), x => floor(x * lit(1e6)).cast("long"))
+            .as("cq"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
     for (_ <- 0 until iters) {
-      val c = cents
-        .withColumn("cqd", col("cq").cast("array<double>"))
-        .withColumn("nc", norm(col("cqd")))
-        .select("cent_id", "cqd", "nc")
-      val w = Window.partitionBy("_vid")
-        .orderBy(col("cscore").desc, col("cent_id"))
       // micros-quantized dots are integer-valued doubles < 2^53: exact,
       // so the fold order is irrelevant and both engines agree
-      val assigned = vecs.crossJoin(broadcast(c))
-        .withColumn("cscore",
-          floor(dot(col("vqd"), col("cqd")) / (col("nv") * col("nc"))
-            * lit(1e9)).cast("long"))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") === 1)
-        .select("cent_id", "vq")
-      val sums = assigned.select(col("cent_id"), posexplode(col("vq")))
+      val book = cents.map { case (cid, cq) => (cid, cq.map(_.toDouble)) }
+      val means = vecs
+        .select(nearestCent(col("vqd"), col("nv"), book).as("cent_id"),
+                posexplode(col("vq")))
         .groupBy("cent_id", "pos")
         .agg(sum("col").as("s"), count(lit(1)).as("cnt"))
-        .withColumn("m", expr("s DIV cnt"))
-      val means = sums.groupBy("cent_id")
-        .agg(map_from_entries(collect_list(struct(col("pos"), col("m"))))
-          .as("_mm"))
-        .withColumn("cq_new",
-          transform(sequence(lit(0), lit(dims - 1)),
-                    d => element_at(col("_mm"), d.cast("int"))))
-        .select("cent_id", "cq_new")
-      // cut lineage per iteration (the Components precedent): the
-      // cents subtree is referenced several times by the next level,
-      // so without a cut the plan re-evaluates earlier iterations'
-      // corpus×nlist assignments multiply per level. nlist rows only.
-      cents = cents.join(means, Seq("cent_id"), "left")
-        .withColumn("cq", coalesce(col("cq_new"), col("cq")))
-        .select("cent_id", "cq")
-        .localCheckpoint(true)
+        .select(col("cent_id"), col("pos"), expr("s DIV cnt").as("m"))
+        .collect()
+      val byCent = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        val arr = new Array[Long](dims)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        cid -> arr
+      }
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (cid, cq) => (cid, byCent.getOrElse(cid, cq)) }
     }
     cents
   }
@@ -512,13 +559,10 @@ object Similarity {
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int, nlist: Int = 16,
                      nprobe: Int = 3, iters: Int = 2,
-                     dims: Int = 64): DataFrame = {
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, iters, dims)
-      .withColumn("centv", col("cq").cast("array<double>"))
-      .withColumn("centn", norm(col("centv")))
-      .select("cent_id", "centv", "centn")
-    ivfQuery(corpus, queries, idCol, vecCol, k, nprobe, cents)
-  }
+                     dims: Int = 64): DataFrame =
+    ivfQuery(corpus, queries, idCol, vecCol, k, nprobe,
+      kmeansCodebook(corpus, idCol, vecCol, nlist, iters, dims)
+        .map { case (cid, cq) => (cid, cq.map(_.toDouble)) })
 
   /** DuckDB oracle for [[ivfTopKTrained]] with `queries = id <
     * maxQueryId` — the Lloyd iterations unrolled as CTE pairs

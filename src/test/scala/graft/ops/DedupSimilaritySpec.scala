@@ -203,6 +203,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("IvfNearest kernel: (score DESC, cent_id ASC) order; null input ranks by id") {
+    import graft.functions.{DotProduct, IvfNearest}
+    // cents 5 and 7 are identical → equal scores → tie breaks to the
+    // smaller cent_id first (the row_number ordering's tie-break)
+    val cents = Seq((7L, Array(1.0, 0.0)), (5L, Array(1.0, 0.0)),
+                    (9L, Array(0.0, 1.0)))
+    val df = spark.range(1).select(typedLit(Seq(2.0, 0.1)).as("v"))
+      .withColumn("n", sqrt(DotProduct.dot(col("v"), col("v"))))
+      .select(IvfNearest.topCents(col("v"), col("n"), cents, 3).as("ids"))
+    assert(df.head().getSeq[Long](0) == Seq(5L, 7L, 9L))
+    // null vec / null nrm: every score is the sentinel (DESC NULLS
+    // LAST) → pure cent_id order, never an error or a null result
+    val nullDf = spark.range(1)
+      .select(lit(null).cast("array<double>").as("v"),
+              lit(null).cast("double").as("n"))
+      .select(IvfNearest.topCents(col("v"), col("n"), cents, 2).as("ids"))
+    assert(nullDf.head().getSeq[Long](0) == Seq(5L, 7L))
+  }
+
   test("native dot product is bit-identical to the built-in fold it replaces") {
     val v = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))

@@ -132,6 +132,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastExchange"), p.take(800))
   }
 
+  test("IVF assignment is in-row: one skinny rank exchange, no n·nlist shuffle") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = plan(Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5))
+    // the round-5 plan exchanged |corpus|·nlist vector-carrying rows
+    // per assignment pass (crossJoin + row_number window); the in-row
+    // graft_ivf_nearest kernel leaves exactly ONE exchange — the final
+    // rank window over (query_id, neighbor_id, score) candidate rows
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    assert(p.contains("graft_ivf_nearest"), p.take(1500))
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+  }
+
   test("url-bucketed tables join WITHOUT a shuffle (co-located bucket join)") {
     // the north-rule bucketing contract: two tables bucketed by the
     // same key into the same bucket count join shuffle-free — at 100 TB
