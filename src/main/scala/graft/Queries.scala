@@ -483,6 +483,22 @@ object Queries {
 
   private val docsCte = "WITH docs AS (SELECT * FROM documents)"
 
+  /** Exact-dup canonical representative: the full row carrying the
+    * minimum `idCol` per `fpCol` group — ONE min_by hash aggregate with
+    * map-side partial aggregation. The round-5 form computed
+    * `min(id) OVER (PARTITION BY fp)` and filtered `id = keep_id`: an
+    * exchange of EVERY row plus a sort for the window; the aggregate
+    * shuffles at most one partially-combined row per (task, fp) and
+    * never sorts (guide §2.3: aggregate before you shuffle). Row set is
+    * identical — ids are unique, so "the row whose id is the group min"
+    * and "min_by(row, id)" pick the same single row per group.
+    */
+  private def fpCanonical(df: DataFrame, fpCol: String,
+                          idCol: String): DataFrame =
+    df.groupBy(col(fpCol))
+      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("_c"))
+      .select(col("_c.*"))
+
   /** The curation thresholds the unversioned queries run under — the
     * registry's frozen default (v1.0), referenced instead of repeated
     * literals so the registry is the single source of truth on BOTH
@@ -561,7 +577,7 @@ object Queries {
     // corpus_filter under two ruleset versions: v2.0's extra stopword
     // language and stricter quality floor change the keep set — both
     // versions run in ONE plan, ONE corpus scan, ONE fingerprint
-    // window: the fingerprint (and so the exact-dup canonical) is
+    // canonical aggregate: the fingerprint (and so the exact-dup canonical) is
     // ruleset-independent, so per-version lang/quality are computed
     // side by side in the same projection, exploded to (version, …)
     // rows, and gated by the per-version floor. A/B-ing a ruleset
@@ -570,22 +586,19 @@ object Queries {
     "corpus_filter_rulesets" -> QueryDef(
       run = (s, dir) => {
         import graft.core.CurationRuleset
-        import org.apache.spark.sql.expressions.Window
         val versions = Seq(CurationRuleset.V1, CurationRuleset.V2)
         val docs = s.read.parquet(s"$dir/documents.parquet")
-        docs
+        fpCanonical(docs
           // narrow map at the scan: fingerprint + BOTH versions' stats
           // as two small structs — the text column never reaches the
-          // window exchange
+          // canonical aggregate's exchange
           .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp_md5"),
             array(versions.map(rs =>
               struct(lit(rs.version).as("ruleset"),
                      TextStats.langId(col("text"), rs).as("lang_pred"),
                      TextStats.qualityMilli(col("text"), rs).as("quality_milli"),
-                     lit(rs.qualityFloorMilli).as("floor"))): _*).as("rs"))
-          .withColumn("keep_id",
-            min(col("doc_id")).over(Window.partitionBy("fp_md5")))
-          .filter(col("doc_id") === col("keep_id"))
+                     lit(rs.qualityFloorMilli).as("floor"))): _*).as("rs")),
+          "fp_md5", "doc_id")
           .select(col("doc_id"), explode(col("rs")).as("r"))
           .filter(col("r.quality_milli") >= col("r.floor") &&
             col("r.lang_pred") =!= "und")
@@ -643,18 +656,15 @@ object Queries {
     // on top of the selection plan; the bench side stays broadcast.
     "corpus_select_decontam" -> QueryDef(
       run = (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = s.read.parquet(s"$dir/documents.parquet")
         val bench = docs.filter(col("doc_id") < 5L)
           .select(col("doc_id").as("bench_id"), col("text"))
         val contaminated = graft.ops.Decontaminate
           .overlap(docs, "doc_id", "text", bench, "bench_id", "text")
           .select("doc_id").distinct()
-        TextStats.stats(docs, "doc_id", "text")
-          .withColumn("keep_id",
-            min(col("doc_id")).over(Window.partitionBy("fp_md5")))
-          .filter(col("doc_id") === col("keep_id") &&
-            col("quality_milli") >= Rules.qualityFloorMilli && col("lang_pred") =!= "und")
+        fpCanonical(TextStats.stats(docs, "doc_id", "text"), "fp_md5", "doc_id")
+          .filter(col("quality_milli") >= Rules.qualityFloorMilli &&
+            col("lang_pred") =!= "und")
           .join(contaminated, Seq("doc_id"), "left_anti")
           .select("doc_id", "lang_pred", "quality_milli")
       },
@@ -713,18 +723,16 @@ object Queries {
 
     // End-of-pipeline training-set selection: the curation ops COMPOSE —
     // exact-dup canonical representative (min id per fingerprint) ∧
-    // quality floor ∧ confident language id, in one plan (one window
-    // shuffle on the fingerprint; everything else scan-speed).
+    // quality floor ∧ confident language id, in one plan (one
+    // partially-aggregated min_by shuffle on the fingerprint —
+    // [[fpCanonical]]; everything else scan-speed).
     "corpus_filter" -> QueryDef(
       run = (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val stats = TextStats.stats(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
-        stats
-          .withColumn("keep_id",
-            min(col("doc_id")).over(Window.partitionBy("fp_md5")))
-          .filter(col("doc_id") === col("keep_id") &&
-            col("quality_milli") >= Rules.qualityFloorMilli && col("lang_pred") =!= "und")
+        fpCanonical(stats, "fp_md5", "doc_id")
+          .filter(col("quality_milli") >= Rules.qualityFloorMilli &&
+            col("lang_pred") =!= "und")
           .select("doc_id", "lang_pred", "quality_milli", "n_tokens")
       },
       oracle = Some(
@@ -753,14 +761,11 @@ object Queries {
     // cluster sizes.
     "corpus_sample" -> QueryDef(
       run = (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val stats = TextStats.stats(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
-        val filtered = stats
-          .withColumn("keep_id",
-            min(col("doc_id")).over(Window.partitionBy("fp_md5")))
-          .filter(col("doc_id") === col("keep_id") &&
-            col("quality_milli") >= Rules.qualityFloorMilli && col("lang_pred") =!= "und")
+        val filtered = fpCanonical(stats, "fp_md5", "doc_id")
+          .filter(col("quality_milli") >= Rules.qualityFloorMilli &&
+            col("lang_pred") =!= "und")
           .withColumn("band",
             floor(col("quality_milli") / 250L).cast("long"))
         val quota = least(lit(1000L),
@@ -827,14 +832,11 @@ object Queries {
     // repetition, the "epochs per source" step of mix construction.
     "corpus_mix" -> QueryDef(
       run = (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val stats = TextStats.stats(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
-        val filtered = stats
-          .withColumn("keep_id",
-            min(col("doc_id")).over(Window.partitionBy("fp_md5")))
-          .filter(col("doc_id") === col("keep_id") &&
-            col("quality_milli") >= Rules.qualityFloorMilli && col("lang_pred") =!= "und")
+        val filtered = fpCanonical(stats, "fp_md5", "doc_id")
+          .filter(col("quality_milli") >= Rules.qualityFloorMilli &&
+            col("lang_pred") =!= "und")
         val w = Sampling.quotaFor(col("lang_pred"), Seq("en" -> 2500L), 700L)
         Sampling.repeatByWeight(filtered, "doc_id", w)
           .select("doc_id", "lang_pred", "copy_idx")
@@ -898,16 +900,14 @@ object Queries {
     // component iteration is one declarative plan.
     "corpus_pipeline" -> QueryDef(
       run = (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = s.read.parquet(s"$dir/documents.parquet")
         val clusters = graft.ops.Components.connected(
             Dedup.minHashLsh(docs, "doc_id", "text"), "id_a", "id_b")
           .withColumnRenamed("v", "doc_id")
-        val filtered = TextStats.stats(docs, "doc_id", "text")
-          .withColumn("keep_id",
-            min(col("doc_id")).over(Window.partitionBy("fp_md5")))
-          .filter(col("doc_id") === col("keep_id") &&
-            col("quality_milli") >= Rules.qualityFloorMilli && col("lang_pred") =!= "und")
+        val filtered = fpCanonical(
+            TextStats.stats(docs, "doc_id", "text"), "fp_md5", "doc_id")
+          .filter(col("quality_milli") >= Rules.qualityFloorMilli &&
+            col("lang_pred") =!= "und")
           .join(clusters, Seq("doc_id"), "left")
           .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
           .withColumn("band",

@@ -73,12 +73,17 @@ object WebPages {
   /** Number of url-hash buckets (files per day partition at scale). */
   val UrlBuckets = 16
 
-  /** Exact inverse of the html wrapper: byte-identical `text`. */
-  def extractText(html: Column): Column = {
-    val s = decode(html, "UTF-8")
-    s.substr(lit(HtmlPrefix.length + 1),
-             length(s) - lit(HtmlPrefix.length + HtmlSuffix.length))
-  }
+  /** Exact inverse of the html wrapper: byte-identical `text`. Slices
+    * the BINARY first (prefix/suffix are fixed ASCII byte counts, so
+    * byte offsets are exact even for multibyte text) and decodes only
+    * the payload — the round-5 form decoded the whole document and then
+    * paid a second O(n) char-boundary scan + copy for the string
+    * substring. Same UTF-8 bytes in, same string out.
+    */
+  def extractText(html: Column): Column =
+    decode(html.substr(lit(HtmlPrefix.length + 1),
+        length(html) - lit(HtmlPrefix.length + HtmlSuffix.length)),
+      "UTF-8")
 
   /** DuckDB CTE mirroring [[load]] exactly — prefix for oracle SQL.
     * `warc_epoch` uses epoch_us//1_000_000 (floor) to match Spark's

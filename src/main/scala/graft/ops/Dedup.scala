@@ -132,26 +132,15 @@ object Dedup {
       .select(col("_id"), col("bb.band"), col("bb.band_hash"))
   }
 
-  /** The capped band stream: bands whose bucket exceeds `maxBucket`
-    * members are filtered out via a count window over (band, band_hash)
-    * — skew stats folded INTO the plan (one exchange keyed exactly like
-    * the downstream self-join), no persist, no driver-blocking stats
-    * action. Callers wanting the dropped-bucket report run
-    * [[minHashLshDropped]] — the cap itself is documented here and in
-    * the operator, never silent.
+  /** All ordered (id_a < id_b) pairs of an ASCENDING-sorted distinct id
+    * array, emitted in-row: element i pairs with every later element.
+    * Bounded by the caller's bucket cap, so the array (B ids) and the
+    * pair array (B²/2 structs) are both small per row.
     */
-  private[ops] def cappedBands(df: DataFrame, idCol: String, textCol: String,
-                               numHashes: Int, bands: Int, shingleK: Int,
-                               maxBucket: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val b = lshBands(
-      minHashSignatures(df, idCol, textCol, numHashes, shingleK),
-      numHashes, bands)
-    val w = Window.partitionBy("band", "band_hash")
-    b.withColumn("_bsz", count(lit(1)).over(w))
-      .filter(col("_bsz") <= maxBucket)
-      .select("_id", "band", "band_hash")
-  }
+  private def orderedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y =>
+        struct(x.as("id_a"), y.as("id_b")))))
 
   /** Candidate near-duplicate pairs: ids sharing any LSH band bucket.
     * k-word shingles (default 3) keep band buckets selective — unigram
@@ -168,23 +157,30 @@ object Dedup {
     * and truly identical texts are the exact-dedup stage's job, not
     * LSH's.
     *
-    * Plan shape: the bucket-size filter is ONE count window over
-    * (band, band_hash) — the exact key the self-join below shuffles on,
-    * so the expensive signature pipeline (shingling + seeded md5s) runs
-    * once below a single exchange that both join sides REUSE
-    * (ReusedExchange, pinned in PlanSpec); no persist leaks into the
-    * caller's session and no eager stats action blocks the driver.
+    * Plan shape: the band stream shuffles ONCE into a (band, band_hash)
+    * aggregate that collects each bucket's member ids (bounded by the
+    * cap — ≤ maxBucket ids per group), drops oversized buckets, and
+    * emits the bucket-local pairs in-row from the sorted id array. The
+    * round-5 form paid a count window (sort) plus a self-join (two
+    * reads of the reused exchange, two merge sorts) over the same
+    * exchange to produce the identical pair stream — bucket-grouped
+    * emission is one read, zero sorts, zero joins (guide §2.3/§2.4);
+    * the expensive signature pipeline still runs once, below the single
+    * exchange. No persist leaks into the caller's session and no eager
+    * stats action blocks the driver.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4,
                  shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val keep = cappedBands(df, idCol, textCol, numHashes, bands, shingleK,
-                           maxBucket)
-    val l = keep.select(col("_id").as("id_a"), col("band"), col("band_hash"))
-    val r = keep.select(col("_id").as("id_b"), col("band"), col("band_hash"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val b = lshBands(
+      minHashSignatures(df, idCol, textCol, numHashes, shingleK),
+      numHashes, bands)
+    b.groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")) <= maxBucket)
+      .select(explode(orderedPairs(col("_ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
   /** Audit companion of [[minHashLsh]]'s skew cap: the band buckets a
@@ -310,6 +306,13 @@ object Dedup {
           (shiftright(col("simhash"), b * w) % (1L << w)).as("slice"))): _*))
         .as("bb"))
       .select(col("_id"), col("simhash"), col("bb.band"), col("bb.slice"))
+    // self-join pair stream, NOT the minHashLsh bucket-grouped form:
+    // simhash slices are UNCAPPED (and real slices skew hard — natural-
+    // language fingerprints share slice values; a 5k-doc corpus already
+    // grows a 2,125-member slice = 2.25M pairs from one bucket), so
+    // collecting member arrays and emitting B²/2 pair structs in one
+    // row allocates unboundedly where the join streams each pair
+    // through codegen. Both self-join sides read ONE reused exchange.
     val l = slices.select(col("_id").as("id_a"), col("simhash").as("fp_a"),
                           col("band"), col("slice"))
     val r = slices.select(col("_id").as("id_b"), col("simhash").as("fp_b"),
@@ -422,12 +425,18 @@ object Dedup {
     */
   def chunkShared(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dc = df.select(col(idCol).as("_id"),
         explode(TextStats.wordChunks(col(textCol), k)).as("chunk"))
       .select(col("_id"), Portable.hash60(col("chunk")).as("_ch"))
       .distinct()
-    val freq = dc.groupBy("_ch").agg(count(lit(1)).as("_docs"))
-    dc.join(freq, Seq("_ch"))
+    // per-hash distinct-document count as ONE count window over _ch —
+    // after the distinct, rows per hash ARE the document count. The
+    // round-5 form derived the same count as a separate aggregate and
+    // joined it back (an extra exchange + join on the identical key);
+    // the window reuses one exchange of the distinct hash stream.
+    dc.withColumn("_docs",
+        count(lit(1)).over(Window.partitionBy("_ch")))
       .groupBy(col("_id"))
       .agg(count(lit(1)).as("n_chunks_distinct"),
            sum(when(col("_docs") > 1, 1L).otherwise(0L)).as("n_shared"))

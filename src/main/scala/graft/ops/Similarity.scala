@@ -196,8 +196,8 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     val keys = base
-      .withColumn("kk", explode(lshKeys(col("v"), tables, planes, dims)))
-      .select(col("id"), col("kk.tbl"), col("kk.bucket"))
+      .select(col("id"),
+        posexplode(lshKeys(col("v"), tables, planes, dims)).as(Seq("tbl", "bucket")))
     val cand = keys.select(col("id").as("id_a"), col("tbl"), col("bucket"))
       .join(keys.select(col("id").as("id_b"), col("tbl"), col("bucket")),
             Seq("tbl", "bucket"))
@@ -656,20 +656,33 @@ object Similarity {
        |QUALIFY rank <= $k""".stripMargin
   }
 
-  /** All (table, bucket) keys of a vector, as an array column —
-    * exploded into the blocking-key stream.
+  /** Per-table bucket ids of a vector as one array<long> (index =
+    * table) — the compiled [[graft.functions.LshBuckets]] kernel; the
+    * per-table built-in composition (tables·planes inlined plane dots)
+    * blew the whole-stage-codegen method past the JIT ceiling. Callers
+    * `posexplode` it into the (tbl, bucket) blocking-key stream.
     */
   private def lshKeys(vec: Column, tables: Int, planes: Int,
                       dims: Int): Column =
-    array((0 until tables).map(t =>
-      struct(lit(t).as("tbl"),
-             lshBucket(vec, t, planes, dims).as("bucket"))): _*)
+    graft.functions.LshBuckets.forPlanes(vec, tables, planes,
+      Array.tabulate(tables * planes) { i =>
+        planeSigns(i / planes, i % planes, dims).toArray
+      })
 
   /** ANN top-k via multi-table LSH: candidates are corpus vectors
     * sharing any table's bucket with the query (multi-table union is
     * what keeps recall high on near-orthogonal data); ranking is then
     * exact cosine over candidates only. Recall vs [[bruteForceTopK]]
     * is measured in the test suite.
+    *
+    * Plan shape: the candidate union is generated and DEDUPED on skinny
+    * (query_id, neighbor_id) id pairs only; vectors re-attach afterward
+    * by id (cand and the query set broadcast — both are bounded by the
+    * probe set, the operator's standing premise). The round-5 form
+    * carried qv/cv/qn/cn (wide double arrays) through the
+    * dropDuplicates exchange AND the rank-window exchange; now both
+    * exchanges move ids and one score (guide §2.3: shuffle keys, not
+    * payloads).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 4, tables: Int = 8,
@@ -677,22 +690,23 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .withColumn("kk", explode(lshKeys(col("cv"), tables, planes, dims)))
-      .select(col("neighbor_id"), col("cv"), col("cn"),
-              col("kk.tbl"), col("kk.bucket"))
+    val cKeys = corpus.select(col(idCol).as("neighbor_id"),
+      posexplode(lshKeys(asDouble(col(vecCol)), tables, planes, dims))
+        .as(Seq("tbl", "bucket")))
     val q = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("kk", explode(lshKeys(col("qv"), tables, planes, dims)))
-      .select(col("query_id"), col("qv"), col("qn"),
-              col("kk.tbl"), col("kk.bucket"))
-    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val qKeys = q.select(col("query_id"),
+      posexplode(lshKeys(col("qv"), tables, planes, dims))
+        .as(Seq("tbl", "bucket")))
+    val cand = cKeys.join(broadcast(qKeys), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("score_nanos",
-      floor(dot(col("qv"), col("cv"))
-        / (col("qn") * col("cn")) * lit(1e9)).cast("long"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(dot(col("qv"), col("cv"))
+          / (col("qn") * col("cn")) * lit(1e9)).cast("long").as("score_nanos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_nanos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -35,6 +35,10 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("column pruning: a narrow projection never reads html/text payloads") {
+    // other suites on the shared session may have cached these parquet
+    // reads with all columns; CacheManager substitution would replace
+    // the scan (and its ReadSchema) with an InMemoryRelation
+    spark.catalog.clearCache()
     val narrow = WebPages.load(spark, sfDir)
       .select("domain", "warc_epoch")
     val p = plan(narrow)
@@ -76,19 +80,23 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"denseBySeries added a join:\n${ps.take(800)}")
   }
 
-  test("minHashLsh runs the signature pipeline once: reused exchange, no persist") {
+  test("minHashLsh: bucket-grouped pair emission — no self-join, no persist") {
     // other suites on the shared session may have cached this parquet;
     // the CacheManager would substitute their InMemoryRelation into OUR
     // plan and fake a persist — drop session caches first
     spark.catalog.clearCache()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val df = Dedup.minHashLsh(docs, "doc_id", "text")
-    df.collect() // finalize AQE plan (exchange reuse is physical)
-    val p = plan(df)
-    // both self-join sides read ONE exchange of the band stream — the
-    // expensive shingling + seeded-md5 map work is below it and runs once
-    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
-           p.take(1200))
+    // no collect(): the pre-execution adaptive plan prints the initial
+    // tree once (the executed form would echo Final + Initial sections
+    // and double every operator count)
+    val p = plan(Dedup.minHashLsh(docs, "doc_id", "text"))
+    // the expensive signature pipeline runs ONCE and feeds a single
+    // bucket aggregate that emits pairs in-row: no join operator at all
+    // (the round-5 self-join read a reused exchange twice and sorted
+    // both sides), and exactly three hash exchanges — signatures by
+    // _id, buckets by (band, band_hash), the final pair distinct
+    assert(!p.contains("Join"), p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p.take(1200))
     // no persist leaks into the caller's session (other suites may
     // cache their own data on the shared session, so assert on THIS
     // plan, not on global persistent-RDD state)
