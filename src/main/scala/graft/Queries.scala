@@ -381,14 +381,9 @@ object Queries {
           col("user_id"),
           unix_timestamp(col("ts")).as("t_epoch"),
           col("event_id"))
-        graft.ops.Sessionize.assignBucketed(
-            ev, "user_id", "t_epoch", "event_id",
-            gapSeconds = 1800L, bucketSeconds = 3600L)
-          .groupBy(col("user_id"), col("session_seq"))
-          .agg(count(lit(1)).as("n_events"),
-               min(col("t_epoch")).as("start_epoch"),
-               max(col("t_epoch")).as("end_epoch"))
-          .withColumn("duration_s", col("end_epoch") - col("start_epoch"))
+        graft.ops.Sessionize.statsBucketed(
+          ev, Seq("user_id"), "t_epoch", "event_id",
+          gapSeconds = 1800L, bucketSeconds = 3600L)
       },
       oracle = Some(graft.ops.Sessionize.statsOracleSql(
         """SELECT user_id,
@@ -408,14 +403,9 @@ object Queries {
           pmod(graft.functions.Portable.hash60(col("url")), lit(8L))
             .as("url_bucket"),
           col("warc_epoch"), col("event_id"))
-        graft.ops.Sessionize.assignBucketed(
-            keyed, Seq("domain", "url_bucket"), "warc_epoch", "event_id",
-            gapSeconds = 3600L, bucketSeconds = 6L * 3600L)
-          .groupBy(col("domain"), col("url_bucket"), col("session_seq"))
-          .agg(count(lit(1)).as("n_events"),
-               min(col("warc_epoch")).as("start_epoch"),
-               max(col("warc_epoch")).as("end_epoch"))
-          .withColumn("duration_s", col("end_epoch") - col("start_epoch"))
+        graft.ops.Sessionize.statsBucketed(
+          keyed, Seq("domain", "url_bucket"), "warc_epoch", "event_id",
+          gapSeconds = 3600L, bucketSeconds = 6L * 3600L)
       },
       oracle = Some {
         val h = graft.functions.Portable.hash60Sql("url")

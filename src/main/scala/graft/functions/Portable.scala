@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
 object Portable {
 
   /** 60-bit deterministic hash: first 15 hex digits of md5. Positive,
-    * fits a BIGINT on both engines.
+    * fits a BIGINT on both engines. Computed by the compiled [[Hash60]]
+    * kernel — value-identical to the reference composition
+    * `conv(substring(md5(c), 1, 15), 16, 10)` (and to [[hash60Sql]])
+    * without the hex-render + substring + base-16 re-parse detour.
     */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60(c: Column): Column = Hash60.of(c)
 
   def hash60Sql(expr: String): String =
     s"CAST(concat('0x', substring(md5($expr), 1, 15)) AS BIGINT)"

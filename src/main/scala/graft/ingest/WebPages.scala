@@ -75,15 +75,19 @@ object WebPages {
 
   /** Exact inverse of the html wrapper: byte-identical `text`. Slices
     * the BINARY first (prefix/suffix are fixed ASCII byte counts, so
-    * byte offsets are exact even for multibyte text) and decodes only
-    * the payload — the round-5 form decoded the whole document and then
-    * paid a second O(n) char-boundary scan + copy for the string
-    * substring. Same UTF-8 bytes in, same string out.
+    * byte offsets are exact even for multibyte text), then casts
+    * binary→string, which wraps the UTF-8 bytes directly. The round-5
+    * form decoded the whole document (bytes → java String → internal
+    * string = two full copies) and then paid a third O(n)
+    * char-boundary scan for the string substring. The wrapper writes
+    * valid UTF-8 by construction, so the wrapped bytes ARE the decoded
+    * text and every downstream consumer (md5/xxhash64/equality)
+    * operates on identical bytes.
     */
   def extractText(html: Column): Column =
-    decode(html.substr(lit(HtmlPrefix.length + 1),
-        length(html) - lit(HtmlPrefix.length + HtmlSuffix.length)),
-      "UTF-8")
+    html.substr(lit(HtmlPrefix.length + 1),
+        length(html) - lit(HtmlPrefix.length + HtmlSuffix.length))
+      .cast("string")
 
   /** DuckDB CTE mirroring [[load]] exactly — prefix for oracle SQL.
     * `warc_epoch` uses epoch_us//1_000_000 (floor) to match Spark's

@@ -79,12 +79,10 @@ object Dedup {
   private[ops] def shingleSet(df: DataFrame, idCol: String, textCol: String,
                          k: Int): DataFrame = {
     if (k <= 1) return wordSet(df, idCol, textCol)
-    val w = split(col(textCol), " ")
-    val shingles = transform(
-      sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(k))))
+    // compiled one-pass shingler (the transform/slice/concat_ws
+    // composition was interpreted HOF work — see WordShingles doc)
     spread(df).select(col(idCol).as("_id"),
-              explode(array_distinct(shingles)).as("w"))
+      explode(graft.functions.WordShingles.of(col(textCol), k)).as("w"))
   }
 
   /** DuckDB mirror of [[shingleSet]] as a FROM-able subselect body. */

@@ -99,21 +99,24 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     val cfg = "{\"num_hashes\":" + numHashes + ",\"bands\":" + bands +
       ",\"shingle_k\":" + shingleK + ",\"hash_buckets\":" + hashBuckets + "}"
     if (!F.exists(cfgPath)) {
-      // atomic claim (createFile fails if a concurrent first
-      // construction won — rename-based moves silently REPLACE on
-      // Linux, so they cannot arbitrate); the loser falls through to
-      // the validation below and must match the winner's knobs.
+      // content-atomic claim: write the full content to a unique temp
+      // file and hard-LINK it into place — createLink fails if a
+      // concurrent first construction already won (rename REPLACES on
+      // Linux, so it cannot arbitrate), and a successfully claimed file
+      // carries its content from the first instant, so no reader can
+      // ever observe an empty config (the round-5 createFile-then-write
+      // claim left a permanently empty file if the winner crashed
+      // between the two steps, and made racing losers spin-poll).
       // Migration note: a pre-config table pins the knobs of its first
       // post-upgrade open — the caller must pass the original values.
-      try { F.createFile(cfgPath); F.writeString(cfgPath, cfg) }
+      val tmp = Paths.get(
+        s"$root/.DEDUP_CONFIG.${java.util.UUID.randomUUID()}.tmp")
+      F.writeString(tmp, cfg)
+      try F.createLink(cfgPath, tmp)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally F.deleteIfExists(tmp)
     }
-    // the winner may be mid-write for an instant; wait for content
-    var stored = F.readString(cfgPath).trim
-    var spins = 0
-    while (stored.isEmpty && spins < 100) {
-      Thread.sleep(10); stored = F.readString(cfgPath).trim; spins += 1
-    }
+    val stored = F.readString(cfgPath).trim
     require(stored == cfg,
       s"dedup table at $root was created with $stored; " +
         s"reopening with $cfg would silently lose pairs")

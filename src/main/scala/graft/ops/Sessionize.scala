@@ -96,6 +96,66 @@ object Sessionize {
       .drop("_bkt", "_ls", "_off")
   }
 
+  /** Per-session stats straight from the bucketed two-phase plan —
+    * identical rows to `assignBucketed(…).groupBy(keys, session_seq)`
+    * with the raw-event stats aggregates, but the raw rows never leave
+    * the phase-1 window's partitioning: per-LOCAL-session stats
+    * aggregate under the same (key, bucket) partitioning (no exchange),
+    * and only the session-level stream (one row per local session)
+    * flows into the offset join and the final merge. The assign-then-
+    * aggregate form joined the offsets back to EVERY raw row and
+    * re-shuffled the raw stream into the final grouping; here both
+    * steps run on |local sessions| rows (guide §2.3: aggregate before
+    * you shuffle). Equality with the assign form is spec-pinned.
+    */
+  def statsBucketed(df: DataFrame, keyCols: Seq[String], timeCol: String,
+                    idCol: String, gapSeconds: Long,
+                    bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucket width must be positive")
+    val keys = keyCols.map(col)
+    val bucketed = df.withColumn("_bkt",
+      col(timeCol) - pmod(col(timeCol), lit(bucketSeconds)))
+    val w1 = Window.partitionBy(keys :+ col("_bkt"): _*)
+      .orderBy(col(timeCol), col(idCol))
+    val prev = lag(col(timeCol), 1).over(w1)
+    val local = bucketed
+      .withColumn("_new",
+        when(prev.isNull || col(timeCol) - prev > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("_ls", sum(col("_new")).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // per-local-session stats: grouping keys extend the window's
+    // partition keys, so this aggregates WITHOUT a new exchange
+    val localStats = local.groupBy(keys ++ Seq(col("_bkt"), col("_ls")): _*)
+      .agg(count(lit(1)).as("_n"), min(col(timeCol)).as("_ft"),
+           max(col(timeCol)).as("_lt"))
+    // per-bucket summaries (same partitioning again): first/last event
+    // time + local session count — identical values to assignBucketed's
+    // raw-row summaries
+    val stats = localStats.groupBy(keys :+ col("_bkt"): _*)
+      .agg(min(col("_ft")).as("_ft"), max(col("_lt")).as("_lt"),
+           max(col("_ls")).as("_nl"))
+    val w2 = Window.partitionBy(keys: _*).orderBy("_bkt")
+    val prevLast = lag(col("_lt"), 1).over(w2)
+    val offsets = stats
+      .withColumn("_merge",
+        when(prevLast.isNotNull && col("_ft") - prevLast <= gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("_off",
+        coalesce(sum(col("_nl")).over(
+          w2.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          - sum(col("_merge")).over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(keys :+ col("_bkt") :+ col("_off"): _*)
+    localStats.join(offsets, keyCols :+ "_bkt")
+      .withColumn("session_seq", col("_ls") + col("_off"))
+      .groupBy(keys :+ col("session_seq"): _*)
+      .agg(sum(col("_n")).as("n_events"),
+           min(col("_ft")).as("start_epoch"),
+           max(col("_lt")).as("end_epoch"))
+      .withColumn("duration_s", col("end_epoch") - col("start_epoch"))
+  }
+
   /** Per-session stats: bounds, event count, duration. */
   def stats(df: DataFrame, keyCol: String, timeCol: String, idCol: String,
             gapSeconds: Long): DataFrame =

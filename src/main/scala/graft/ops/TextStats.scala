@@ -24,15 +24,29 @@ object TextStats {
     */
   val stopwords: Seq[(String, Seq[String])] = CurationRuleset.Default.stopwords
 
-  private def padded(c: Column): Column = concat(lit(" "), c, lit(" "))
   private def paddedSql(e: String): String = s"concat(' ', $e, ' ')"
+
+  /** One compiled occurrence pass for EVERY language's stopwords
+    * ([[graft.functions.OccurrenceCounts]]): the per-word
+    * replace-and-measure composition copied the document once per
+    * stopword (~20 copies/row across langId + quality). The node
+    * canonicalizes structurally, so the scorer columns of one
+    * projection share a single evaluation via subexpression
+    * elimination. Element order = flattened rs.stopwords order.
+    */
+  private def stopwordCounts(text: Column, rs: CurationRuleset): Column =
+    graft.functions.OccurrenceCounts.of(text,
+      rs.stopwords.flatMap { case (_, ws) => ws.map(w => s" $w ") })
 
   /** Stopword-hit count for one language over single-space text. */
   def langScore(text: Column, lang: String,
-                rs: CurationRuleset = CurationRuleset.Default): Column =
-    rs.stopwords.toMap.apply(lang)
-      .map(w => Portable.occurrences(padded(text), s" $w "))
+                rs: CurationRuleset = CurationRuleset.Default): Column = {
+    val counts = stopwordCounts(text, rs)
+    val flat = rs.stopwords.flatMap { case (l, ws) => ws.map(l -> _) }
+    flat.zipWithIndex
+      .collect { case ((l, _), i) if l == lang => element_at(counts, i + 1) }
       .reduce(_ + _)
+  }
 
   def langScoreSql(expr: String, lang: String,
                    rs: CurationRuleset = CurationRuleset.Default): String =
@@ -111,8 +125,11 @@ object TextStats {
     * single non-alphanumeric marks (the classic pre-tokenizer regex).
     */
   private val bpeRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  // regexp_count: same non-overlapping match count as
+  // size(regexp_extract_all(…)) without materializing every matched
+  // token string into an array first
   def tokenCountBpe(text: Column): Column =
-    size(regexp_extract_all(text, lit(bpeRegex), lit(0))).cast("long")
+    regexp_count(text, lit(bpeRegex)).cast("long")
   def tokenCountBpeSql(expr: String): String =
     s"CAST(len(regexp_extract_all($expr, '$bpeRegex')) AS BIGINT)"
 
@@ -147,12 +164,13 @@ object TextStats {
       s"regexp_replace($e, '$re', '$tok', 'g')"
     }
 
-  /** Per-kind match counts (audit channel of the scrubber). */
+  /** Per-kind match counts (audit channel of the scrubber) — same
+    * regexp_count-over-extract_all swap as [[tokenCountBpe]].
+    */
   def piiCounts(text: Column,
                 rs: CurationRuleset = CurationRuleset.Default): Seq[Column] =
     rs.piiPatterns.map { case (kind, re, _) =>
-      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
-        .as(s"n_$kind")
+      regexp_count(text, lit(re)).cast("long").as(s"n_$kind")
     }
 
   def piiCountsSql(expr: String,
@@ -187,34 +205,17 @@ object TextStats {
   /** Gopher-style repetition measures, integral milli-units, all
     * computed IN-ROW (no shuffle): duplicate-chunk fraction over
     * non-overlapping `k`-word chunks, and the fraction of all bigrams
-    * taken by the most frequent bigram. The per-row bigram mode is
-    * O(distinct·total) array work bounded by document length — still
-    * scan-local map work at corpus scale.
+    * taken by the most frequent bigram — one compiled linear pass per
+    * document ([[graft.functions.RepetitionStats]]; the built-in
+    * composition's bigram mode was O(distinct·total) interpreted
+    * higher-order-function work, ~22 ms/doc — see the kernel's doc).
     */
   def repetitionCols(text: Column, k: Int = 8): Seq[Column] = {
-    val chunks = wordChunks(text, k)
-    val nc = size(chunks).cast("long")
-    val distinctC = size(array_distinct(chunks)).cast("long")
-    // floor(double /) matches DuckDB `//` here: operands are tiny
-    // per-document counts, far below 2^53
-    val dup = when(nc > 0, ((nc - distinctC) * 1000L) / nc).otherwise(0.0)
-    val words = split(text, " ")
-    val nw = size(words)
-    // guard nw < 2: sequence(1, 0) DESCENDS in Spark (and element_at 0
-    // errors under ANSI), while DuckDB's generate_series is empty
-    val bigrams = when(nw >= 2,
-      transform(sequence(lit(1), nw - 1),
-        i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val nbg = size(bigrams).cast("long")
-    val topCount = array_max(transform(array_distinct(bigrams),
-      b => size(filter(bigrams, x => x === b))))
-    val topMilli = when(nbg > 0, (topCount.cast("long") * 1000L) / nbg)
-      .otherwise(0.0)
-    Seq(nc.as("n_chunks"),
-        floor(dup).cast("long").as("dup_chunk_milli"),
-        nbg.as("n_bigrams"),
-        floor(topMilli).cast("long").as("top_bigram_milli"))
+    val r = graft.functions.RepetitionStats.of(text, k)
+    Seq(r.getField("n_chunks").as("n_chunks"),
+        r.getField("dup_chunk_milli").as("dup_chunk_milli"),
+        r.getField("n_bigrams").as("n_bigrams"),
+        r.getField("top_bigram_milli").as("top_bigram_milli"))
   }
 
   def repetitionColsSql(expr: String, k: Int = 8): Seq[String] = {

@@ -225,10 +225,13 @@ final class TierTable(val root: String, spark: SparkSession) {
     * commit fails loudly instead of silently dropping the winner's
     * snapshot from history. The losing commit's data/manifest stay on
     * disk unreferenced until [[expireSnapshots]] reclaims them; the
-    * caller retries from a fresh read. (Check-then-move is not atomic
-    * across processes — like Iceberg on a rename-only filesystem, a
-    * true multi-writer deployment puts the swap behind a CAS-capable
-    * catalog; this guard closes the in-process race the spec pins.)
+    * caller retries from a fresh read. The check+move runs under a
+    * JVM-wide per-table-root lock ([[TierTable.commitLockFor]]), so two
+    * in-process writers can never BOTH pass the parent check before
+    * either moves CURRENT — the swap is a true CAS within one JVM.
+    * (Across processes it remains check-then-move — like Iceberg on a
+    * rename-only filesystem, a true multi-writer deployment puts the
+    * swap behind a CAS-capable catalog.)
     */
   private def publish(m: Manifest, expectedParent: Option[Long]): Manifest = {
     // snapshot-id collision guard: two writers that both computed the
@@ -246,16 +249,20 @@ final class TierTable(val root: String, spark: SparkSession) {
     // the manifest now protects the id; the reservation can go (even if
     // the CAS below fails, the id is never reused)
     Files.deleteIfExists(manifests.resolve(s".reserve-${m.snapshot}"))
+    // the interleave hook stays OUTSIDE the lock (a hooked spec thread
+    // may wait for a concurrent publish, which needs the lock)
     beforeCurrentMove()
-    val now = currentSnapshotId
-    if (now != expectedParent)
-      throw new java.util.ConcurrentModificationException(
-        s"concurrent commit at $root: this commit's parent is " +
-          s"$expectedParent but CURRENT is now $now — retry from a fresh read")
-    val ctmp = rootPath.resolve(".CURRENT.tmp")
-    Files.writeString(ctmp, m.snapshot.toString)
-    Files.move(ctmp, current, StandardCopyOption.ATOMIC_MOVE,
-               StandardCopyOption.REPLACE_EXISTING)
+    TierTable.commitLockFor(rootPath).synchronized {
+      val now = currentSnapshotId
+      if (now != expectedParent)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit at $root: this commit's parent is " +
+            s"$expectedParent but CURRENT is now $now — retry from a fresh read")
+      val ctmp = rootPath.resolve(".CURRENT.tmp")
+      Files.writeString(ctmp, m.snapshot.toString)
+      Files.move(ctmp, current, StandardCopyOption.ATOMIC_MOVE,
+                 StandardCopyOption.REPLACE_EXISTING)
+    }
     m
   }
 
@@ -500,6 +507,26 @@ final class TierTable(val root: String, spark: SparkSession) {
         }
       }
     }
+    // garbage-collect reservations from writers that crashed before
+    // publishing: a `.reserve-<id>` with id at or below CURRENT can
+    // never be claimed again (ids only advance past existing
+    // manifests), so deleting it is safe even if its writer were
+    // somehow still alive — and without this sweep every crashed
+    // writer's file is rescanned by all future reserveSnapshotId calls
+    // forever.
+    cur.foreach { c =>
+      Using.resource(Files.list(manifests)) { stream =>
+        stream.iterator().asScala
+          .filter { p =>
+            val s = p.getFileName.toString
+            s.startsWith(".reserve-") &&
+              s.stripPrefix(".reserve-").forall(_.isDigit) &&
+              s.length > ".reserve-".length &&
+              s.stripPrefix(".reserve-").toLong <= c
+          }
+          .toSeq.foreach(Files.deleteIfExists(_))
+      }
+    }
     deletable
   }
 
@@ -654,4 +681,20 @@ object Manifest {
     Manifest(longField("snapshot"), parent, longField("timestamp_ms"),
              partitionCol, parts, bucketCol)
   }
+}
+
+object TierTable {
+  /** JVM-wide per-root commit locks: serialize [[TierTable.publish]]'s
+    * CURRENT check+move across every TierTable INSTANCE of one root in
+    * this process (two instances over the same root are the spec-pinned
+    * multi-writer shape; without the lock both could pass the parent
+    * check before either moves CURRENT and the loser's snapshot would
+    * silently vanish from history).
+    */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[table] def commitLockFor(root: java.nio.file.Path): Object =
+    commitLocks.computeIfAbsent(
+      root.toAbsolutePath.normalize.toString, _ => new Object)
 }

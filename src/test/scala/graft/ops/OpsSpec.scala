@@ -255,6 +255,42 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       p.take(1200))
   }
 
+  test("statsBucketed equals assign + raw-row session stats at any bucket width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 400).map { i =>
+      ((i % 3).toLong, rnd.nextInt(40000).toLong, i.toLong)
+    } ++ Seq((9L, 0L, 1000L), (9L, 1800L, 1001L), (9L, 3600L, 1002L),
+             (9L, 5401L, 1003L)) // exact-gap chain then break
+    val ev = rows.toDF("user_id", "t_epoch", "event_id")
+    val base = Sessionize.assign(ev, Seq("user_id"), "t_epoch", "event_id", 1800L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("t_epoch")).as("start_epoch"),
+           max(col("t_epoch")).as("end_epoch"))
+      .withColumn("duration_s", col("end_epoch") - col("start_epoch"))
+    for (w <- Seq(450L, 1800L, 7200L, 1000000L)) {
+      val b = Sessionize.statsBucketed(
+        ev, Seq("user_id"), "t_epoch", "event_id", 1800L, w)
+      assert(b.schema.fieldNames.toSeq == base.schema.fieldNames.toSeq)
+      assert(b.exceptAll(base).isEmpty && base.exceptAll(b).isEmpty,
+        s"statsBucketed(width=$w) != assign + stats")
+    }
+    // the local-session aggregate must ride the phase-1 (key, bucket)
+    // window partitioning — no exchange keyed on (key, bucket, local
+    // session), ever (the assign-then-aggregate form re-shuffled the
+    // raw rows into the final per-session grouping)
+    val p = Sessionize.statsBucketed(ev, Seq("user_id"), "t_epoch",
+        "event_id", 1800L, 450L)
+      .queryExecution.executedPlan.toString
+    assert(!"hashpartitioning\\(user_id[^)]*_ls".r.findFirstIn(p).isDefined,
+      p.take(1500))
+    // final merge exchange carries session-level rows only: its
+    // grouping is (key, session_seq)
+    assert("hashpartitioning\\(user_id[^)]*session_seq".r.findFirstIn(p).isDefined,
+      p.take(1500))
+  }
+
   test("multi-column series keys: sessionize + gap-fill over a composite key") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -114,4 +114,71 @@ class TierTableLayoutSpec extends AnyFunSuite with SparkSuite {
     assert(t.partitionKeys == Set("0", "1", "2"))
     assert(t.currentManifest.get.parent.contains(winnerSnap))
   }
+
+  test("concurrent commit: racing THREADS through separate instances lose nothing") {
+    // the round-5 guard was check-then-move with no lock: two threads
+    // could both read the same parent before either moved CURRENT and
+    // the loser's snapshot silently vanished. The commit lock makes the
+    // in-process swap a true CAS: over repeated racing trials, every
+    // committed partition is in history (losers fail loudly and retry).
+    import spark.implicits._
+    val root = tmpRoot("cas-threads")
+    val t0 = new TierTable(root, spark).init()
+    t0.commitOverwrite(Seq((0L, 0L)).toDF("day_epoch", "v"), "day_epoch")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (trial <- 1 to 5) {
+        val tags = Seq(trial * 10L, trial * 10L + 1L)
+        val futs = tags.map { tag =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              val inst = new TierTable(root, spark).init()
+              var attempts = 0
+              var done = false
+              while (!done) {
+                attempts += 1
+                try {
+                  inst.commitOverwrite(
+                    Seq((tag, tag)).toDF("day_epoch", "v"), "day_epoch")
+                  done = true
+                } catch {
+                  case _: java.util.ConcurrentModificationException
+                      if attempts < 10 => () // lost the CAS — retry
+                }
+              }
+            }
+          })
+        }
+        futs.foreach(_.get())
+        val keys = t0.partitionKeys
+        tags.foreach(tag => assert(keys.contains(tag.toString),
+          s"trial $trial lost commit $tag — CURRENT swap dropped a snapshot"))
+      }
+    } finally pool.shutdown()
+  }
+
+  test("expireSnapshots sweeps crashed reservations at or below CURRENT") {
+    import spark.implicits._
+    val root = tmpRoot("resgc")
+    val t = new TierTable(root, spark).init()
+    t.commitOverwrite(Seq((0L, 1L)).toDF("day_epoch", "v"), "day_epoch")
+    t.commitOverwrite(Seq((1L, 2L)).toDF("day_epoch", "v"), "day_epoch")
+    val manifests = java.nio.file.Paths.get(root, "manifests")
+    // a writer that crashed before publish: id <= CURRENT → unclaimable
+    // forever, so the sweep removes it
+    val stale = manifests.resolve(".reserve-1")
+    java.nio.file.Files.createFile(stale)
+    t.expireSnapshots(keepLast = 10)
+    assert(!java.nio.file.Files.exists(stale),
+      "stale reservation survived expiry")
+    // a reservation ABOVE current may belong to an in-flight writer —
+    // it must survive, and id allocation still advances past it
+    val live = manifests.resolve(".reserve-99")
+    java.nio.file.Files.createFile(live)
+    t.expireSnapshots(keepLast = 10)
+    assert(java.nio.file.Files.exists(live),
+      "possibly-live reservation was swept")
+    val m = t.commitOverwrite(Seq((2L, 3L)).toDF("day_epoch", "v"), "day_epoch")
+    assert(m.snapshot == 100L, s"id did not advance past the live reservation")
+  }
 }
