@@ -52,8 +52,15 @@ object WebPages {
         concat(col("source"), lit(".example.org")).as("domain"),
         col("ts").as("warc_ts"),
         unix_timestamp(col("ts")).as("warc_epoch"),
-        encode(concat(lit(HtmlPrefix), col("text"), lit(HtmlSuffix)), "UTF-8")
-          .as("html"),
+        // binary concat of the wrapper bytes around the text's UTF-8
+        // bytes (cast string→binary wraps the internal bytes): the same
+        // html bytes as the round-5 encode(concat(...), 'UTF-8') chain
+        // WITHOUT materializing a java String per row and re-encoding
+        // it — this projection runs in the single scan task feeding the
+        // replication exchange, so its per-row cost is a SERIAL section
+        // of every cascade run (Amdahl at 16+ cores)
+        concat(lit(HtmlPrefix.getBytes("UTF-8")), col("text").cast("binary"),
+               lit(HtmlSuffix.getBytes("UTF-8"))).as("html"),
         col("text"), col("lang"), col("n_chars"), col("value"),
         col("event_id"), col("doc_id"),
         // three-state missingness at tier-0 (core.Flag): a fetch error
