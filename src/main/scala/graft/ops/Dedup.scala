@@ -99,19 +99,25 @@ object Dedup {
          |FROM (SELECT $idCol, string_split($textCol, ' ') AS w FROM $table)""".stripMargin
     }
 
-  /** MinHash signatures: numHashes min-aggregates over the affine
-    * permutation family applied to ONE base hash per distinct shingle
-    * (`Portable.minHashBase`/`affine`) — the per-shingle map cost is a
-    * single md5 + numHashes integer ops, not numHashes md5s. Output:
+  /** MinHash signatures: the whole signature is a pure function of one
+    * document, so it is computed IN-ROW by the compiled
+    * [[graft.functions.MinHashSig]] kernel (one md5 + numHashes integer
+    * ops per distinct shingle — the same affine family over the same
+    * base hash). The round-5 form exploded every distinct shingle to a
+    * row and re-aggregated with numHashes min() columns: per-task row
+    * expansion (~50 rows/doc), a hash-agg probe per shingle row, and a
+    * partial/final aggregate + exchange, all gone from the plan. Null-
+    * text documents are filtered exactly like the explode form dropped
+    * them (no shingle rows → no signature row). Output:
     * (_id, h0 … h{n-1}).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleK: Int = 3): DataFrame = {
-    val words = shingleSet(df, idCol, textCol, shingleK)
-      .withColumn("_h", Portable.minHashBase(col("w")))
-    val aggs = (0 until numHashes).map(i =>
-      min(Portable.affine(i, col("_h"))).as(s"h$i"))
-    words.groupBy(col("_id")).agg(aggs.head, aggs.tail: _*)
+    val sig = graft.functions.MinHashSig.of(
+      col(textCol), math.max(shingleK, 1), numHashes)
+    spread(df).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id") +:
+        (0 until numHashes).map(i => element_at(sig, i + 1).as(s"h$i")): _*)
   }
 
   /** LSH bands: split the signature into `bands` bands of

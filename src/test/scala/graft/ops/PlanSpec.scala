@@ -90,13 +90,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // tree once (the executed form would echo Final + Initial sections
     // and double every operator count)
     val p = plan(Dedup.minHashLsh(docs, "doc_id", "text"))
-    // the expensive signature pipeline runs ONCE and feeds a single
-    // bucket aggregate that emits pairs in-row: no join operator at all
-    // (the round-5 self-join read a reused exchange twice and sorted
-    // both sides), and exactly three hash exchanges — signatures by
-    // _id, buckets by (band, band_hash), the final pair distinct
+    // the in-row signature kernel feeds a single bucket aggregate that
+    // emits pairs in-row: no join operator at all (the round-5
+    // self-join read a reused exchange twice and sorted both sides),
+    // and exactly two hash exchanges — buckets by (band, band_hash)
+    // and the final pair distinct (the signature explode+agg exchange
+    // is gone: signatures are a per-document expression now)
     assert(!p.contains("Join"), p.take(1200))
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p.take(1200))
+    assert(p.contains("graft_minhash_sig"), p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(1200))
     // no persist leaks into the caller's session (other suites may
     // cache their own data on the shared session, so assert on THIS
     // plan, not on global persistent-RDD state)
