@@ -240,23 +240,18 @@ object Dedup {
 
   /** SimHash fingerprint over the distinct word set: bit j of the
     * fingerprint is the sign of Σ_words (2·bit_j(hash60(word)) − 1).
-    * `bits` ≤ 60. Output: (_id, simhash).
+    * `bits` ≤ 60. Output: (_id, simhash). Computed IN-ROW by the
+    * compiled [[graft.functions.SimHashFp]] kernel — the round-5 form
+    * exploded every distinct word and re-aggregated through `bits`
+    * sum() columns (the [[minHashSignatures]] story, bit-vector
+    * flavored); null-text documents are filtered exactly like the
+    * explode form dropped them.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String,
-              bits: Int = 16): DataFrame = {
-    val words = wordSet(df, idCol, textCol)
-      .withColumn("wh", Portable.hash60(col("w")))
-    // bit j via shiftright (integer-exact; double division would lose
-    // precision above 2^53)
-    val sumAggs = (0 until bits).map(j =>
-      sum(when((shiftright(col("wh"), j) % 2) === 1, 1L)
-        .otherwise(-1L)).as(s"s$j"))
-    val sums = words.groupBy(col("_id")).agg(sumAggs.head, sumAggs.tail: _*)
-    val fp = (0 until bits)
-      .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sums.select(col("_id"), fp.as("simhash"))
-  }
+              bits: Int = 16): DataFrame =
+    spread(df).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        graft.functions.SimHashFp.of(col(textCol), bits).as("simhash"))
 
   def simHashOracleSql(fromCte: String, table: String, idCol: String,
                        textCol: String, bits: Int = 16): String = {

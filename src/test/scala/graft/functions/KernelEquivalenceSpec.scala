@@ -110,6 +110,28 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSuite {
     assertSame(got, ref, "RepetitionStats")
   }
 
+  test("SimHashFp == explode + bit-sum aggregation") {
+    for (bits <- Seq(16, 32)) {
+      val sumAggs = (0 until bits).map(j =>
+        sum(when((shiftright(col("wh"), j) % 2) === 1, 1L)
+          .otherwise(-1L)).as(s"s$j"))
+      val ref = adversarial
+        .select(col("id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        .withColumn("wh",
+          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+        .groupBy("id")
+        .agg(sumAggs.head, sumAggs.tail: _*)
+        .select(col("id"),
+          (0 until bits).map(j =>
+            when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("fp"))
+      val got = adversarial.select(col("id"),
+        SimHashFp.of(col("text"), bits).as("fp"))
+      assertSame(got, ref, s"SimHashFp(bits=$bits)")
+    }
+  }
+
   test("LshBuckets == the per-plane when-sum composition") {
     import graft.ops.Similarity
     val dims = 4
