@@ -102,11 +102,39 @@ object Sessionize {
     * the phase-1 window's partitioning: per-LOCAL-session stats
     * aggregate under the same (key, bucket) partitioning (no exchange),
     * and only the session-level stream (one row per local session)
-    * flows into the offset join and the final merge. The assign-then-
-    * aggregate form joined the offsets back to EVERY raw row and
-    * re-shuffled the raw stream into the final grouping; here both
-    * steps run on |local sessions| rows (guide §2.3: aggregate before
-    * you shuffle). Equality with the assign form is spec-pinned.
+    * crosses the second (and last) exchange.
+    *
+    * The global session number falls out of ONE carry window over that
+    * session stream, partitioned by key and ordered by (bucket, local
+    * seq): `session_seq = row_number() - running count of merged
+    * boundaries`. Equivalence with the offset form (local seq +
+    * sessions in earlier buckets − merges so far): sessions in earlier
+    * buckets + local seq IS the row number in that order, and a
+    * boundary merges exactly when the first local session of a bucket
+    * (`_ls = 1`) starts within `gapSeconds` of the previous session
+    * row's last event — the previous row in this order is the last
+    * session of the nearest earlier non-empty bucket, whose `_lt` is
+    * that bucket's max event time. The final per-global-session merge
+    * groups by (keys, session_seq) ⊇ the window's partition keys, so
+    * it rides the same exchange.
+    *
+    * Plan shape (spec-pinned): TWO exchanges total — raw rows cross
+    * only the phase-1 (key, bucket) exchange; session-level rows cross
+    * the per-key carry exchange; no join, no exchange keyed on the
+    * local or global session. (A previous form derived per-bucket
+    * offsets in a separate branch and joined them back: the branch
+    * re-evaluated the phase-1 sort+window+aggregate a second time —
+    * only the shuffle was reused — and the join output needed a third
+    * exchange for the final grouping.)
+    *
+    * Skew: the raw-row window stays bounded by (key, bucket) — a
+    * Zipf-head key still costs one bucket per task in phase 1. The
+    * carry window is O(local sessions) per key, aggregated before the
+    * shuffle (guide §2.3); in the adversarial corner where nearly
+    * every event is its own session AND one key owns the stream, that
+    * approaches the raw count again — there, [[assignBucketed]]'s
+    * bucket-summary offset join (O(buckets) per key carry) remains the
+    * fallback shape. Equality with the assign form is spec-pinned.
     */
   def statsBucketed(df: DataFrame, keyCols: Seq[String], timeCol: String,
                     idCol: String, gapSeconds: Long,
@@ -129,26 +157,20 @@ object Sessionize {
     val localStats = local.groupBy(keys ++ Seq(col("_bkt"), col("_ls")): _*)
       .agg(count(lit(1)).as("_n"), min(col(timeCol)).as("_ft"),
            max(col(timeCol)).as("_lt"))
-    // per-bucket summaries (same partitioning again): first/last event
-    // time + local session count — identical values to assignBucketed's
-    // raw-row summaries
-    val stats = localStats.groupBy(keys :+ col("_bkt"): _*)
-      .agg(min(col("_ft")).as("_ft"), max(col("_lt")).as("_lt"),
-           max(col("_ls")).as("_nl"))
-    val w2 = Window.partitionBy(keys: _*).orderBy("_bkt")
-    val prevLast = lag(col("_lt"), 1).over(w2)
-    val offsets = stats
-      .withColumn("_merge",
-        when(prevLast.isNotNull && col("_ft") - prevLast <= gapSeconds, 1L)
-          .otherwise(0L))
-      .withColumn("_off",
-        coalesce(sum(col("_nl")).over(
-          w2.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-          - sum(col("_merge")).over(
-            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(keys :+ col("_bkt") :+ col("_off"): _*)
-    localStats.join(offsets, keyCols :+ "_bkt")
-      .withColumn("session_seq", col("_ls") + col("_off"))
+    // carry window over the session stream: a row with _ls = 1 opens a
+    // bucket; it merges into the previous session when the inter-bucket
+    // gap is within gapSeconds (chains across many narrow buckets
+    // collapse correctly — every merged boundary subtracts one)
+    val w2 = Window.partitionBy(keys: _*).orderBy(col("_bkt"), col("_ls"))
+    val prevLt = lag(col("_lt"), 1).over(w2)
+    val mergeRow =
+      when(col("_ls") === 1L && prevLt.isNotNull
+             && col("_ft") - prevLt <= gapSeconds, 1L)
+        .otherwise(0L)
+    localStats
+      .withColumn("session_seq",
+        row_number().over(w2).cast("long") - sum(mergeRow).over(
+          w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(keys :+ col("session_seq"): _*)
       .agg(sum(col("_n")).as("n_events"),
            min(col("_ft")).as("start_epoch"),

@@ -276,19 +276,24 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       assert(b.exceptAll(base).isEmpty && base.exceptAll(b).isEmpty,
         s"statsBucketed(width=$w) != assign + stats")
     }
-    // the local-session aggregate must ride the phase-1 (key, bucket)
-    // window partitioning — no exchange keyed on (key, bucket, local
-    // session), ever (the assign-then-aggregate form re-shuffled the
-    // raw rows into the final per-session grouping)
+    // plan shape: TWO exchanges total — the phase-1 (key, bucket)
+    // raw-row exchange and the per-key carry exchange over the
+    // session-level stream; no join, and no exchange keyed on the
+    // local or global session number (the assign-then-aggregate form
+    // re-shuffled the raw rows into the final per-session grouping,
+    // and the offset-join form re-evaluated phase 1 in a second
+    // branch and needed a third exchange after the join)
     val p = Sessionize.statsBucketed(ev, Seq("user_id"), "t_epoch",
         "event_id", 1800L, 450L)
       .queryExecution.executedPlan.toString
     assert(!"hashpartitioning\\(user_id[^)]*_ls".r.findFirstIn(p).isDefined,
       p.take(1500))
-    // final merge exchange carries session-level rows only: its
-    // grouping is (key, session_seq)
-    assert("hashpartitioning\\(user_id[^)]*session_seq".r.findFirstIn(p).isDefined,
+    assert(!"hashpartitioning\\(user_id[^)]*session_seq".r.findFirstIn(p).isDefined,
       p.take(1500))
+    assert("hashpartitioning\\(user_id[^)]*_bkt".r.findFirstIn(p).isDefined,
+      p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(1500))
   }
 
   test("multi-column series keys: sessionize + gap-fill over a composite key") {
