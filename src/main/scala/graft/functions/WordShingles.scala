@@ -57,7 +57,12 @@ case class WordShingles(text: Expression, k: Int) extends UnaryExpression {
 
 object WordShingles {
 
-  def shingles(text: UTF8String, k: Int): ArrayData = {
+  /** The distinct shingle set itself (first-occurrence order) — shared
+    * by [[shingles]] and the driver-side bench-postings build of
+    * [[DecontamOverlap]], so both sides of the containment measure use
+    * the exact same shingle semantics by construction.
+    */
+  def shingleStrings(text: UTF8String, k: Int): java.util.LinkedHashSet[String] = {
     // Spark split(text, " "): regex split, limit -1 (empties kept)
     val words = text.toString.split(" ", -1)
     val n = words.length
@@ -76,6 +81,11 @@ object WordShingles {
       seen.add(sb.toString)
       i += 1
     }
+    seen
+  }
+
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val seen = shingleStrings(text, k)
     val out = new Array[AnyRef](seen.size)
     val it = seen.iterator()
     var o = 0

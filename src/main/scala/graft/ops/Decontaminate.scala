@@ -25,27 +25,39 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** (doc_id, bench_id, overlap_milli) pairs with containment ≥
-    * `thresholdMilli`. Shingle construction is [[Dedup.shingleSet]]
-    * (distinct k-word shingles; short docs yield their single sub-k
-    * shingle).
+    * `thresholdMilli`. Shingle construction is
+    * [[graft.functions.WordShingles]] (distinct k-word shingles; short
+    * docs yield their single sub-k shingle) — on BOTH sides, via the
+    * shared `shingleStrings` helper.
+    *
+    * The bench side (small by the operator contract — it was already
+    * collected by the driver to build a broadcast relation in the
+    * join form) is collected once and compiled into the in-row
+    * [[graft.functions.DecontamOverlap]] index, so the corpus streams
+    * through ONE narrow scan: no corpus shingle explode, no
+    * (corpus × bench) pair aggregate, no exchange at all on the corpus
+    * side. Value-identical to the explode + broadcast-join + count
+    * composition this replaces: `_inter` counts distinct shared
+    * shingles, `(_inter * 1000) DIV |B|` is the same positive long
+    * floor division as the oracle's `//`, null-text corpus rows score
+    * null (explode drops them exactly like their missing shingle
+    * rows), and bench ids must be unique (they are group keys in the
+    * oracle form).
     */
   def overlap(corpus: DataFrame, corpusId: String, corpusText: String,
               bench: DataFrame, benchId: String, benchText: String,
               k: Int = 3, thresholdMilli: Long = 800L): DataFrame = {
-    val cs = Dedup.shingleSet(corpus, corpusId, corpusText, k)
-      .withColumnRenamed("_id", "doc_id")
-    val bs = Dedup.shingleSet(bench, benchId, benchText, k)
-      .withColumnRenamed("_id", "bench_id")
-    val bSizes = bs.groupBy("bench_id").agg(count(lit(1)).as("_bsz"))
-    cs.join(broadcast(bs), Seq("w"))
-      .groupBy("doc_id", "bench_id")
-      .agg(count(lit(1)).as("_inter"))
-      .join(broadcast(bSizes), Seq("bench_id"))
-      // integer DIV mirrors the oracle's `//` exactly (double `/` under
-      // floor is bit-exact only below 2^53)
-      .withColumn("overlap_milli", expr("(_inter * 1000) DIV _bsz"))
-      .filter(col("overlap_milli") >= thresholdMilli)
-      .select("doc_id", "bench_id", "overlap_milli")
+    val benchRows = bench
+      .select(col(benchId).cast("long"), col(benchText).cast("string"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    val scored = graft.functions.DecontamOverlap.of(
+      col(corpusText), k, benchRows, thresholdMilli)
+    Dedup.spread(corpus)
+      .select(col(corpusId).as("doc_id"), explode(scored).as("_m"))
+      .select(col("doc_id"), col("_m.bench_id").as("bench_id"),
+        col("_m.overlap_milli").as("overlap_milli"))
   }
 
   /** DuckDB mirror of [[overlap]]. `corpusSel`/`benchSel` are FROM-able

@@ -53,7 +53,7 @@ object Dedup {
     * input has fewer splits than the cluster has slots — a real
     * 100 TB scan already has thousands of splits and skips this.
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[ops] def spread(df: DataFrame): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
     // inputFiles is plan metadata (no RDD materialization, unlike
     // rdd.getNumPartitions). Derived plans (no file scan underneath)

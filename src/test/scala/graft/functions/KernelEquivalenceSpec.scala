@@ -155,4 +155,43 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSuite {
       array((0 until tables).map(refBucket): _*).as("b"))
     assertSame(got, ref, "LshBuckets")
   }
+
+  test("DecontamOverlap == shingle explode + broadcast join + count") {
+    import graft.ops.Decontaminate
+    // adversarial corpus plus a null-text doc (must score no pairs,
+    // like its missing shingle rows in the explode form) and an exact
+    // duplicate of a bench doc (containment 1000)
+    val rows = adversarial.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq((100L, null: String), (101L, "the the the the"))
+    import spark.implicits._
+    val corpus = rows.toSeq.toDF("id", "text")
+    val bench = corpus.filter(col("id") % 3 === 0 && col("id") < 100)
+      .select(col("id").as("bid"), col("text"))
+    for ((k, thr) <- Seq((3, 200L), (1, 500L))) {
+      val got = Decontaminate.overlap(
+        corpus, "id", "text", bench, "bid", "text", k, thr)
+      // the pre-kernel composition, verbatim
+      def shingleRows(df: DataFrame, idc: String): DataFrame =
+        df.select(col(idc).as("_id"),
+          explode(WordShingles.of(col("text"), k)).as("w"))
+      val cs = shingleRows(corpus, "id").withColumnRenamed("_id", "doc_id")
+      val bs = shingleRows(bench, "bid").withColumnRenamed("_id", "bench_id")
+      val bSizes = bs.groupBy("bench_id").agg(count(lit(1)).as("_bsz"))
+      val ref = cs.join(broadcast(bs), Seq("w"))
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).as("_inter"))
+        .join(broadcast(bSizes), Seq("bench_id"))
+        .withColumn("overlap_milli", expr("(_inter * 1000) DIV _bsz"))
+        .filter(col("overlap_milli") >= thr)
+        .select("doc_id", "bench_id", "overlap_milli")
+      assert(ref.count() > 0, s"vacuous fixture at k=$k")
+      assertSame(got, ref, s"DecontamOverlap(k=$k, thr=$thr)")
+    }
+    // plan shape: the corpus side never explodes into a join — no Join
+    // operator at all, and the only exchange is the single-file spread
+    val p = Decontaminate.overlap(
+        corpus, "id", "text", bench, "bid", "text", 3, 200L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(1200))
+  }
 }

@@ -421,13 +421,17 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       s"z-runs span too much: $spans")
   }
 
-  test("decontaminate plan: bench side broadcasts; corpus never self-joins") {
+  test("decontaminate plan: in-row scoring — no join, no corpus shingle explode") {
     val bench = docs.filter(col("doc_id") % 50L === 0L)
       .select(col("doc_id").as("bench_id"), col("text"))
     val df = Decontaminate.overlap(docs, "doc_id", "text",
       bench, "bench_id", "text")
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p.take(800))
-    assert(!p.contains("SortMergeJoin"), p.take(800))
+    // the bench index rides inside the kernel (it was the broadcast
+    // side before); the corpus crosses NO join and NO aggregation —
+    // the only Generate explodes the per-doc qualifying pairs
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("HashAggregate"), p.take(800))
+    assert(p.contains("graft_decontam_overlap"), p.take(800))
   }
 }
