@@ -373,8 +373,9 @@ object Queries {
 
     // Gap-based sessionization, 30-minute inactivity gap over the
     // events stream. The gated form runs the skew-safe bucketed
-    // variant (raw-row window per (key, 1h bucket); per-key merge over
-    // bucket summaries) — spec-pinned equal to the one-window form.
+    // variant (raw-row window per (key, 1h bucket); one per-key carry
+    // window over the local-session stream numbers the global
+    // sessions) — spec-pinned equal to the one-window form.
     "ts_sessionize" -> QueryDef(
       run = (s, dir) => {
         val ev = s.read.parquet(s"$dir/events.parquet").select(
